@@ -1,0 +1,163 @@
+"""Pipeline-to-pipeline connectors: routing, count, sum.
+
+Reference: connector/routingconnector (logs.go:62-107), countconnector
+(counter.go:38-128), sumconnector (config.go:33-44).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .transformers import router_tag
+
+__all__ = ["Route", "route_logs", "routed_union", "count_connector", "sum_connector"]
+
+
+@dataclass
+class Route:
+    """One routing table entry (connector/routingconnector/config.go:24-104).
+
+    ``context`` ∈ {"log", "resource"}: a resource-context condition matches
+    *every* row of a conversation when ANY row satisfies it — evaluated as
+    a window-any over conv_id (the flat-model analog of evaluating the
+    condition once per ResourceLogs subtree).
+    ``sinks``: one route may feed several pipelines (duplication,
+    logs.go:76-84).
+    """
+
+    condition: Column
+    sinks: list[str]
+    context: str = "log"
+    name: str | None = None
+
+    def label(self, i: int) -> str:
+        return self.name or f"route_{i}"
+
+
+def route_logs(
+    df: DataFrame,
+    routes: list[Route],
+    *,
+    default_sinks: list[str] | None = None,
+    conv_col: str = "conv_id",
+) -> tuple[DataFrame, dict[str, list[str]]]:
+    """Compile the routing table into ONE first-match-wins tag column.
+
+    The reference moves matched records out of the batch route by route
+    (plogutil/logs.go:26-57) — semantically identical to an ordered
+    when-chain evaluated once per row, but we do it in a single pass with
+    no data movement.  Returns (tagged df with ``_route`` column,
+    route-label -> sink-list map).  Rows with ``_route`` null matched
+    nothing and there is no default: they are dropped by the writer.
+
+    Resource-context conditions become ``max(cond) OVER (PARTITION BY
+    conv)`` — one extra shuffle ONLY if any resource route exists.
+    """
+    conds: list[tuple[Column, str]] = []
+    sink_map: dict[str, list[str]] = {}
+    needs_window = any(r.context == "resource" for r in routes)
+    w = Window.partitionBy(conv_col) if needs_window else None
+    for i, r in enumerate(routes):
+        cond = r.condition
+        if r.context == "resource":
+            cond = F.max(cond.cast("int")).over(w) == 1
+        label = r.label(i)
+        conds.append((F.coalesce(cond, F.lit(False)), label))
+        sink_map[label] = list(r.sinks)
+    default = "default" if default_sinks else None
+    tagged = df.withColumn("_route", router_tag(conds, default=default))
+    if default_sinks:
+        sink_map["default"] = list(default_sinks)
+    return tagged, sink_map
+
+
+def routed_union(tagged: DataFrame, sink_map: dict[str, list[str]]) -> DataFrame:
+    """Explode route labels into (sink, row) pairs — a route feeding N sinks
+    duplicates its rows N times (logs.go:76-84). Output column: ``sink``.
+
+    ``explode`` of a literal-array-by-route via a when-chain keeps this a
+    single narrow stage (no join, no shuffle)."""
+    expr = None
+    for label, sinks in sink_map.items():
+        arr = F.array(*[F.lit(s) for s in sinks])
+        expr = (
+            F.when(F.col("_route") == label, arr)
+            if expr is None
+            else expr.when(F.col("_route") == label, arr)
+        )
+    out = tagged.withColumn("sink", F.explode(expr))
+    return out.drop("_route")
+
+
+def write_routed(
+    tagged: DataFrame,
+    sink_map: dict[str, list[str]],
+    base_path: str,
+    *,
+    fmt: str = "parquet",
+) -> dict[str, str]:
+    """Exporter stage: one partitioned write fans rows out to per-sink
+    tables (fileexporter group_by semantics,
+    exporter/fileexporter/grouping_file_exporter.go:116-152). A single
+    job, partitioned by ``sink`` — the shuffle-free analog of N filtered
+    writes."""
+    routed = routed_union(tagged, sink_map)
+    path = f"{base_path.rstrip('/')}/routed"
+    routed.write.mode("overwrite").partitionBy("sink").format(fmt).save(path)
+    sinks = sorted({s for v in sink_map.values() for s in v})
+    return {s: f"{path}/sink={s}" for s in sinks}
+
+
+def count_connector(
+    df: DataFrame,
+    attrs: list[str],
+    *,
+    condition: Column | None = None,
+    defaults: dict[str, str] | None = None,
+    name: str = "log_record_count",
+) -> DataFrame:
+    """countconnector (connector/countconnector/counter.go:38-128).
+
+    * optional OTTL ``condition`` pre-filter (counter.go:76-86)
+    * group by extracted attrs; a row whose attr is MISSING and has no
+      configured default is EXCLUDED (counter.go:71-73) — '' and null
+      both count as missing for string attrs;
+    * with a default, missing values take it (config.go:186-190).
+    """
+    out = df
+    if condition is not None:
+        out = out.filter(condition)
+    defaults = defaults or {}
+    keys = []
+    for a in attrs:
+        c = F.col(a)
+        missing = c.isNull() | (c.cast("string") == F.lit(""))
+        if a in defaults:
+            keys.append(F.when(missing, F.lit(defaults[a])).otherwise(c).alias(a))
+        else:
+            out = out.filter(~missing)
+            keys.append(c.alias(a))
+    return out.groupBy(*keys).agg(F.count(F.lit(1)).alias(name))
+
+
+def sum_connector(
+    df: DataFrame,
+    source_attribute: Column | str,
+    attrs: list[str],
+    *,
+    condition: Column | None = None,
+    name: str = "sum_value",
+) -> DataFrame:
+    """sumconnector (connector/sumconnector/config.go:33-44): sum a numeric
+    source attribute grouped by attrs; missing group attrs excluded like
+    the count connector."""
+    src = F.col(source_attribute) if isinstance(source_attribute, str) else source_attribute
+    out = df
+    if condition is not None:
+        out = out.filter(condition)
+    for a in attrs:
+        c = F.col(a)
+        out = out.filter(c.isNotNull() & (c.cast("string") != F.lit("")))
+    return out.groupBy(*attrs).agg(F.sum(src).alias(name))

@@ -1,0 +1,193 @@
+"""pdata-level processors: attributes actions, enrichment join, filter,
+groupbyattrs, logdedup, redaction.
+
+These correspond to the collector's processor/ components (SURVEY.md §2.5);
+each is a declarative DataFrame stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+__all__ = [
+    "attr_insert",
+    "attr_update",
+    "attr_upsert",
+    "attr_delete",
+    "attr_hash",
+    "attr_extract",
+    "attr_convert",
+    "enrich_lookup",
+    "filter_logs",
+    "group_by_attrs",
+    "log_dedup",
+    "redact",
+]
+
+
+# ---------------------------------------------------------------------------
+# attributes / resource processor — action list semantics
+# (internal/coreinternal/attraction/attraction.go:22-88, exec :287-342)
+# ---------------------------------------------------------------------------
+
+def attr_insert(df: DataFrame, key: str, value) -> DataFrame:
+    """INSERT: set only if the attribute is absent/null (attraction.go:296)."""
+    v = value if isinstance(value, Column) else F.lit(value)
+    if key in df.columns:
+        return df.withColumn(key, F.coalesce(F.col(key), v))
+    return df.withColumn(key, v)
+
+
+def attr_update(df: DataFrame, key: str, value) -> DataFrame:
+    """UPDATE: set only if the attribute already exists (attraction.go:301)."""
+    if key not in df.columns:
+        return df
+    v = value if isinstance(value, Column) else F.lit(value)
+    return df.withColumn(key, F.when(F.col(key).isNotNull(), v).otherwise(F.col(key)))
+
+
+def attr_upsert(df: DataFrame, key: str, value) -> DataFrame:
+    """UPSERT: unconditional set (attraction.go:306)."""
+    v = value if isinstance(value, Column) else F.lit(value)
+    return df.withColumn(key, v)
+
+
+def attr_delete(df: DataFrame, *keys: str) -> DataFrame:
+    """DELETE (attraction.go:311)."""
+    return df.drop(*keys)
+
+
+def attr_hash(df: DataFrame, key: str, *, algo: str = "sha256") -> DataFrame:
+    """HASH: replace value with hex digest (attraction.go:316, sha1/sha256)."""
+    c = F.col(key).cast("string")
+    if algo == "sha1":
+        h = F.sha1(c)
+    elif algo == "sha256":
+        h = F.sha2(c, 256)
+    elif algo == "md5":
+        h = F.md5(c)
+    else:
+        raise ValueError(f"unsupported hash algo {algo}")
+    return df.withColumn(key, F.when(F.col(key).isNotNull(), h))
+
+
+def attr_extract(df: DataFrame, key: str, pattern: str, groups: list[str]) -> DataFrame:
+    """EXTRACT: regex named groups from one attr fan out into new attrs
+    (attraction.go:414-434). No-match => nulls, source kept."""
+    src = F.col(key)
+    ok = src.rlike(pattern)
+    out = df
+    for i, g in enumerate(groups):
+        out = out.withColumn(g, F.when(ok, F.regexp_extract(src, pattern, i + 1)))
+    return out
+
+
+def attr_convert(df: DataFrame, key: str, to: str) -> DataFrame:
+    """CONVERT: type coercion (attraction.go:330-342)."""
+    spark_type = {"int": "long", "double": "double", "string": "string"}[to]
+    return df.withColumn(key, F.col(key).cast(spark_type))
+
+
+# ---------------------------------------------------------------------------
+# k8sattributes-style enrichment: broadcast lookup join + insert-if-absent
+# ---------------------------------------------------------------------------
+
+def enrich_lookup(
+    df: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    insert_if_absent: bool = True,
+) -> DataFrame:
+    """Enrichment lookup (processor/k8sattributesprocessor/processor.go:121-194).
+
+    The informer cache becomes a *broadcast* dimension — the join never
+    shuffles the fact side, which is the only strategy that survives a
+    100 TB fact table. ``setResourceAttribute`` is insert-if-absent
+    (processor.go:189-194): existing non-null fact columns win via
+    ``coalesce``.
+
+    Join keys equal to '' are treated as missing (no lookup), matching
+    the reference's skip-on-empty-identifier behavior.
+    """
+    overlap = [c for c in dim.columns if c != on and c in df.columns]
+    dim_renamed = dim
+    for c in overlap:
+        dim_renamed = dim_renamed.withColumnRenamed(c, f"_dim_{c}")
+    joined = df.join(
+        broadcast(dim_renamed),
+        on=(df[on] == dim_renamed[on]) & (df[on] != F.lit("")),
+        how="left",
+    ).drop(dim_renamed[on])
+    if insert_if_absent:
+        for c in overlap:
+            joined = joined.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"_dim_{c}"))
+            ).drop(f"_dim_{c}")
+    else:
+        for c in overlap:
+            joined = joined.withColumn(c, F.col(f"_dim_{c}")).drop(f"_dim_{c}")
+    return joined
+
+
+def filter_logs(df: DataFrame, *conditions: Column) -> DataFrame:
+    """filterprocessor (processor/filterprocessor/logs.go:68-99): DROP rows
+    matching ANY condition (conditions are OR'd)."""
+    drop = None
+    for c in conditions:
+        drop = c if drop is None else (drop | c)
+    return df.filter(~F.coalesce(drop, F.lit(False)))
+
+
+def group_by_attrs(df: DataFrame, keys: list[str]) -> DataFrame:
+    """groupbyattrsprocessor (processor/groupbyattrsprocessor/processor.go:63-100):
+    regroup records under a new resource identity.  In the flat Spark model
+    the 'regrouping' is a physical repartition on the promoted keys — the
+    compaction benefit the processor provides is what a shuffle already
+    does. Downstream per-key stages then see co-located data."""
+    return df.repartition(*keys)
+
+
+def log_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    ts_col: str = "ts",
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """logdedupprocessor (processor/logdedupprocessor/processor.go:85-133):
+    collapse rows equal on (body, severity, attrs) minus ``exclude``;
+    emit one row with log_count + first/last timestamps.
+
+    Map-side partial aggregation makes this cheap even with high dup
+    factors; the shuffle carries one row per distinct key per partition.
+    """
+    keys = [k for k in key_cols if not exclude or k not in exclude]
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("log_count"),
+        F.min(ts_col).alias("first_observed_ts"),
+        F.max(ts_col).alias("last_observed_ts"),
+    )
+
+
+def redact(
+    df: DataFrame,
+    *,
+    allowed_keys: list[str] | None = None,
+    mask_patterns: dict[str, str] | None = None,
+    mask_cols: list[str] | None = None,
+) -> DataFrame:
+    """redactionprocessor (processor/redactionprocessor/processor.go:29-47):
+    drop non-allowed attribute columns; mask values matching deny regexes
+    with ``****`` (blocked-value masking, processor.go:193+)."""
+    out = df
+    if allowed_keys is not None:
+        out = out.select(*[c for c in out.columns if c in allowed_keys])
+    if mask_patterns:
+        for col in mask_cols or [c for c, _ in out.dtypes if _ == "string"]:
+            v = F.col(col)
+            for _name, pat in mask_patterns.items():
+                v = F.regexp_replace(v, pat, "****")
+            out = out.withColumn(col, v)
+    return out

@@ -1,0 +1,55 @@
+"""Stage-boundary checkpointing for resumable batch runs.
+
+Reference analog: the filelog receiver persists reader offsets through a
+storage extension (pkg/stanza/fileconsumer/internal/checkpoint/
+checkpoint.go:22,51) so a restart resumes where it left off. For a batch
+DAG the unit of resume is a *stage*: each completed stage writes its
+output to a deterministic path plus a ``_STAGE_DONE`` marker; re-runs
+skip completed stages and re-read their parquet. Writes are idempotent
+(overwrite into a per-stage directory) so a crash mid-write is safe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+MARKER = "_STAGE_DONE"
+
+
+def stage_done(base: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(base, stage, MARKER))
+
+
+def write_stage(df: DataFrame, base: str, stage: str, *, partition_by: list[str] | None = None) -> str:
+    path = os.path.join(base, stage)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    with open(os.path.join(path, MARKER), "w") as f:
+        json.dump({"stage": stage, "completed_at": time.time()}, f)
+    return path
+
+
+def read_stage(spark: SparkSession, base: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(base, stage))
+
+
+def run_stage(
+    spark: SparkSession,
+    base: str,
+    stage: str,
+    build,
+    *,
+    partition_by: list[str] | None = None,
+    force: bool = False,
+) -> DataFrame:
+    """Run ``build()`` unless the stage already completed; either way return
+    the stage output as a DataFrame backed by its checkpoint."""
+    if force or not stage_done(base, stage):
+        write_stage(build(), base, stage, partition_by=partition_by)
+    return read_stage(spark, base, stage)
