@@ -206,6 +206,84 @@ def q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", F.col("text").alias("redacted"))
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings corpora)
+# ---------------------------------------------------------------------------
+
+from opentelemetry_collector_contrib_spark.functions import (  # noqa: E402
+    dedup as dd,
+    multimodal as mm,
+    similarity as sim,
+    text as tx,
+)
+from opentelemetry_collector_contrib_spark.sources import documents as docsrc  # noqa: E402
+
+MINHASH_K, LSH_BANDS, SHINGLE_W = 12, 4, 3
+ANN_K, ANN_PLANES, ANN_QUERY_MAX = 5, 8, 8
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(docsrc.documents_df(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docsrc.documents_df(spark, sf_dir)
+    sh = dd.shingles(docs, w=SHINGLE_W)
+    sigs = dd.minhash_signatures(sh, k=MINHASH_K)
+    return dd.lsh_pairs(sigs, k=MINHASH_K, bands=LSH_BANDS)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(docsrc.documents_df(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.shingles(docsrc.documents_df(spark, sf_dir), w=SHINGLE_W)
+    return dd.jaccard_topk_pairs(sh, topk=20)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = docsrc.embeddings_df(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)
+    return sim.ann_bruteforce_topk(emb, queries_df, k=ANN_K)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = docsrc.embeddings_df(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)
+    return sim.ann_lsh_topk(emb, queries_df, k=ANN_K, planes=ANN_PLANES)
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docsrc.documents_df(spark, sf_dir)
+    return tx.lang_id(docs).select("doc_id", "lang", "pred_lang")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docsrc.documents_df(spark, sf_dir)
+    return tx.quality_score(docs).select(
+        "doc_id", "length_ok", "alpha_ratio", "stop_sig", "word_len_ok", "quality"
+    )
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docsrc.documents_df(spark, sf_dir)
+    return tx.bpe_ish_count(tx.token_count(docs)).select(
+        "doc_id", "n_tokens", "n_bpe"
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docsrc.documents_df(spark, sf_dir)
+    return tx.doc_fingerprint(docs, w=5).select("doc_id", "fingerprint", "exact_hash")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = mm.attach_fake_payload(docsrc.documents_df(spark, sf_dir))
+    feats = mm.decode_features(docs, impl="fake")
+    return feats.select("doc_id", "kind", "n_bytes", "frame_count")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_regex": q_parse_regex,
@@ -227,6 +305,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recombine": q_recombine,
         "attributes_actions": q_attributes_actions,
         "redaction": q_redaction,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_token_stats": q_text_token_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -290,6 +379,104 @@ _SEV_CASE = " ".join(
     [f"WHEN '{k}' THEN {v}" for k, v in SEVERITY_TEXT_TO_NUM.items()]
     + [f"WHEN '{a}' THEN {SEVERITY_TEXT_TO_NUM[c]}" for a, c in SEVERITY_ALIASES.items()]
 )
+
+
+# --- training-data op oracles (documents/embeddings are pre-registered
+# views in the DuckDB harness; dialect-portable md5/regex constructions
+# mirror the Spark stages exactly) ---
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
+    "FROM documents)"
+)
+
+_SHINGLE_CTE = (
+    "sh AS (SELECT DISTINCT doc_id, shingle FROM ("
+    "  SELECT doc_id, unnest(list_transform("
+    f"    generate_series(1, greatest(len(t) - {SHINGLE_W - 1}, 1)), "
+    f"    i -> array_to_string(t[i:i+{SHINGLE_W - 1}], ' '))) AS shingle "
+    "  FROM toks) WHERE shingle <> '')"
+)
+
+_SIG_CTE = "sig AS (SELECT doc_id, " + ", ".join(
+    f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(MINHASH_K)
+) + " FROM sh GROUP BY doc_id)"
+
+_R = MINHASH_K // LSH_BANDS
+_PIPE_SEP = " || '|' || "
+_BANDED_CTE = "banded AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5({_PIPE_SEP.join(f'sig_{b * _R + j}' for j in range(_R))}) AS bh FROM sig"
+    for b in range(LSH_BANDS)
+) + ")"
+
+_SIMHASH_BITS = 16
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b" + str(j)
+    for j in range(_SIMHASH_BITS)
+)
+_SIMHASH_FP = " || ".join(
+    f"CASE WHEN b{j} > 0 THEN '1' ELSE '0' END" for j in range(_SIMHASH_BITS)
+)
+
+_COSINE = (
+    "list_dot_product(e.embedding::DOUBLE[], q.q_vec) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.q_vec, q.q_vec)))"
+)
+
+_BUCKET_BITS = " || ".join(
+    f"CASE WHEN {{v}}[{2 * p + 1}] >= {{v}}[{2 * p + 2}] THEN '1' ELSE '0' END"
+    for p in range(ANN_PLANES)
+)
+
+_HITS = {
+    lang: (
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + "], x)))"
+    )
+    for lang, ws in tx.STOPWORDS.items()
+}
+_LANG_CASE = (
+    "CASE WHEN greatest(" + ", ".join(f"h_{l}" for l in tx.STOPWORDS) + ") = 0 "
+    "THEN 'und' "
+    + " ".join(
+        f"WHEN h_{l} = greatest(" + ", ".join(f"h_{m}" for m in tx.STOPWORDS) + ") "
+        f"THEN '{l}'"
+        for l in tx.STOPWORDS
+    )
+    + " END"
+)
+
+_ANN_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec, embedding AS q_raw "
+    f"FROM embeddings WHERE vec_id < {ANN_QUERY_MAX}), "
+    f"scored AS (SELECT q.q_id, e.vec_id, {_COSINE} AS sim "
+    "FROM embeddings e, q WHERE e.vec_id <> q.q_id{extra}) "
+    "SELECT q_id, cast(rank AS int) AS rank, vec_id, sim FROM ("
+    "  SELECT q_id, vec_id, sim, row_number() OVER "
+    "    (PARTITION BY q_id ORDER BY sim DESC, vec_id DESC) AS rank FROM scored) "
+    f"WHERE rank <= {ANN_K}"
+)
+
+_QUALITY_EXPRS = """
+  sel AS (SELECT d.doc_id,
+    cast(length(d.text) AS double) AS chars,
+    cast(length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g')) AS double) AS alpha,
+    cast(len(tk.t) AS double) AS n_tok,
+    cast({h_en} AS double) AS h_en
+  FROM documents d JOIN (SELECT doc_id, t FROM toks) tk ON d.doc_id = tk.doc_id),
+  comp AS (SELECT doc_id,
+    CASE WHEN chars < 20 THEN chars/20 WHEN chars > 20000 THEN 20000.0/chars
+         ELSE 1.0 END AS length_ok,
+    CASE WHEN chars > 0 THEN alpha/chars ELSE 0.0 END AS alpha_ratio,
+    least(1.0, h_en/5) AS stop_sig,
+    CASE WHEN n_tok > 0 AND alpha/n_tok >= 3 AND alpha/n_tok <= 12
+         THEN 1.0 ELSE 0.0 END AS word_len_ok
+  FROM sel)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -362,4 +549,75 @@ def oracle_sql() -> dict[str, str]:
         "redaction": f"{_T} "
         "SELECT conv_id, turn_idx, regexp_replace(text, 'user=[0-9]+', '****', 'g') "
         "AS redacted FROM transcripts",
+        # --- training-data ops ---
+        "dedup_exact": (
+            "SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash, "
+            "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "dedup_minhash_lsh": (
+            f"WITH {_TOKS_CTE}, {_SHINGLE_CTE}, {_SIG_CTE}, {_BANDED_CTE} "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM banded a JOIN banded b "
+            "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"
+        ),
+        "dedup_simhash": (
+            "WITH tok AS (SELECT doc_id, md5(unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+'))) AS h FROM documents), "
+            f"b AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id) "
+            f"SELECT doc_id, {_SIMHASH_FP} AS simhash FROM b"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH {_TOKS_CTE}, {_SHINGLE_CTE}, "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+            "common_t AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS common FROM sh a JOIN sh b "
+            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, common, "
+            "cast(common AS double) / (sa.sz + sb.sz - common) AS jaccard "
+            "FROM common_t JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"
+        ),
+        "ann_cosine_topk": _ANN_TOPK_SQL.format(extra=""),
+        "ann_lsh_topk": _ANN_TOPK_SQL.format(
+            extra=" AND " + _BUCKET_BITS.format(v="e.embedding")
+            + " = " + _BUCKET_BITS.format(v="q.q_raw")
+        ),
+        "text_langid": (
+            f"WITH {_TOKS_CTE}, "
+            "hits AS (SELECT d.doc_id, d.lang, "
+            + ", ".join(f"{_HITS[l]} AS h_{l}" for l in tx.STOPWORDS)
+            + " FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id) "
+            f"SELECT doc_id, lang, {_LANG_CASE} AS pred_lang FROM hits"
+        ),
+        "text_quality": (
+            f"WITH {_TOKS_CTE}, "
+            + _QUALITY_EXPRS.format(h_en=_HITS["en"].replace("(t,", "(tk.t,"))
+            + " SELECT doc_id, length_ok, alpha_ratio, stop_sig, word_len_ok, "
+            "0.25*length_ok + 0.25*alpha_ratio + 0.25*stop_sig + 0.25*word_len_ok "
+            "AS quality FROM comp"
+        ),
+        "text_token_stats": (
+            "SELECT doc_id, "
+            "cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS int) AS n_tokens, "
+            "cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS int) "
+            "AS n_bpe FROM documents"
+        ),
+        "text_fingerprint": (
+            f"WITH {_TOKS_CTE} "
+            "SELECT d.doc_id, "
+            "list_min(list_transform(generate_series(1, greatest(len(tk.t) - 4, 1)), "
+            "i -> md5(array_to_string(tk.t[i:i+4], ' ')))) AS fingerprint, "
+            "md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS exact_hash "
+            "FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id"
+        ),
+        "multimodal_features": (
+            "SELECT doc_id, "
+            "CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS kind, "
+            "cast(4 + octet_length(encode(text)) AS bigint) AS n_bytes, "
+            "cast(CASE WHEN doc_id % 3 = 0 THEN 1 "
+            "ELSE greatest(octet_length(encode(text)) // 100, 1) END AS int) "
+            "AS frame_count FROM documents"
+        ),
     }

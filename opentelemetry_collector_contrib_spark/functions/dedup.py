@@ -1,0 +1,212 @@
+"""Deduplication stages for a training-data pipeline over `documents`.
+
+Four families, all deterministic and oracle-checkable:
+
+  * exact       — hash-groupBy on normalized text (one shuffle, map-side
+                  partial agg; the Spark-native dedup).
+  * minhash+LSH — shingle -> k minhashes -> banded LSH -> candidate-pair
+                  join. Hashing is md5-based so the DuckDB oracle computes
+                  the identical signatures (no engine-specific hash()).
+  * simhash     — 16-bit sign-aggregated token-hash fingerprint; near-dups
+                  collide on the fingerprint.
+  * n-gram Jaccard — inverted-index self-join on shingles; exact Jaccard
+                  from co-occurrence counts (the verify stage for LSH
+                  candidates, or standalone top-k most-similar pairs).
+
+Scale notes (100 TB corpus):
+  * exact/minhash/simhash are one explode + one hash aggregation each —
+    shuffle volume is O(doc-shingle pairs), partial aggregation collapses
+    per-partition duplicates before the wire.
+  * LSH banding turns the quadratic candidate problem into an equi-join
+    on band hashes; hot bands (boilerplate docs) are the skew risk — AQE
+    skew-join splitting handles moderate skew, and `lsh_pairs` caps
+    emitted pairs per band via a within-band window when `max_band_size`
+    is set (the standard guard against degenerate boilerplate clusters).
+  * The Jaccard join joins on individual shingles; its cost is bounded by
+    the posting-list sizes, which is why it is the *verify* stage after
+    LSH, not the discovery stage, at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import TOKEN_RE
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signatures",
+    "lsh_pairs",
+    "simhash",
+    "jaccard_topk_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, *, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on whitespace-normalized lowercase text.
+
+    Emits one row per distinct content hash with the representative
+    (minimum) id and the duplicate count.
+    """
+    h = F.md5(F.lower(F.regexp_replace(F.col(col), r"\s+", " ")))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(
+    df: DataFrame, *, col: str = "text", id_col: str = "doc_id", w: int = 3
+) -> DataFrame:
+    """One row per (id, distinct word w-gram shingle). The explode is the
+    only width increase in the dedup family; distinct is a map-side
+    partial agg before the shuffle."""
+    sh = (
+        f"transform(sequence(1, greatest(size(regexp_extract_all(lower({col}), "
+        f"'{TOKEN_RE}', 0)) - {w - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(regexp_extract_all(lower({col}), "
+        f"'{TOKEN_RE}', 0), i, {w})))"
+    )
+    return (
+        df.select(id_col, F.explode(F.expr(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, *, id_col: str = "doc_id", k: int = 12
+) -> DataFrame:
+    """k-permutation minhash via md5("<i>:"+shingle) per permutation i.
+
+    md5-as-permutation keeps the signature engine-portable (identical in
+    DuckDB) and needs no random coefficients; min over a hash family is
+    the standard minhash estimator. One hash aggregation computes all k
+    mins — no extra passes."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_pairs(
+    sig_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """Banded LSH candidate pairs: docs agreeing on ALL rows of any band.
+
+    band_hash = md5 of the band's signature slice; a self-equi-join on
+    (band, band_hash) yields candidates; `a < b` + distinct dedups the
+    pair set across bands."""
+    r = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"sig_{b * r + j}") for j in range(r)])).alias(
+                "bh"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
+    ).select(id_col, "e.band", "e.bh")
+    if max_band_size is not None:
+        w = Window.partitionBy("band", "bh").orderBy(id_col)
+        banded = banded.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= max_band_size
+        ).drop("_rn")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, *, col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint: per bit j, the sign of sum over tokens of
+    (+1 if md5(token) nibble j has its high bit set else -1); tokens
+    weighted by multiplicity. Emitted as a bitstring column `simhash`.
+
+    Portable construction: bit j of a token = md5 hex digit j in
+    [8-9a-f]. One explode + one groupBy with `bits` conditional sums.
+    """
+    toks = df.select(
+        id_col,
+        F.explode(F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)")).alias(
+            "tok"
+        ),
+    ).withColumn("h", F.md5(F.col("tok")))
+    sums = [
+        F.sum(
+            F.when(
+                F.substring(F.col("h"), j + 1, 1).isin(*"89abcdef"), 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    fp = F.concat(
+        *[F.when(F.col(f"b{j}") > 0, "1").otherwise("0") for j in range(bits)]
+    )
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def jaccard_topk_pairs(
+    shingle_df: DataFrame, *, id_col: str = "doc_id", topk: int = 20
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing >=1 shingle, keeping the
+    global top-k most-similar pairs (ties broken by ids — deterministic
+    on any cluster size).
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) where the intersection comes
+    from the inverted-index self-join and set sizes from one pre-agg.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    scored = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # top-k (per-partition heaps, driver merge), NOT a global sort; the
+    # full order (jaccard, ids) makes the k-boundary deterministic.
+    return (
+        scored.orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(topk)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )

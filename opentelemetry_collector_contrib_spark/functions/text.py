@@ -1,0 +1,145 @@
+"""Text-analysis stages for a training-data pipeline over `documents`.
+
+All stages are pure Catalyst column expressions (whole-stage codegen,
+no Python in the hot path) built on a shared tokenizer. Every function
+has a dialect-portable DuckDB mirror in `__spark_entry__.oracle_sql`.
+
+Reference analogy: these play the role OTTL converters play in the
+collector (pkg/ottl/ottlfuncs) — pure per-record derivations — applied
+to document corpora instead of log records.
+
+Scale: tokenization + stats are narrow (no shuffle); a 100 TB corpus
+maps straight through with column pruning (only `text` is read when the
+query selects derived stats + doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "STOPWORDS",
+]
+
+#: shared word tokenizer — lowercased alnum runs (identical regex in RE2
+#: (DuckDB) and Java (Spark) dialects)
+TOKEN_RE = "[a-z0-9]+"
+#: BPE-ish subword proxy: letter runs | digit runs | single symbol
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(col: str = "text") -> Column:
+    return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)")
+
+
+def token_count(df: DataFrame, col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace-ish token count (words)."""
+    return df.withColumn(out, F.size(tokens(col)))
+
+
+def bpe_ish_count(df: DataFrame, col: str = "text", out: str = "n_bpe") -> DataFrame:
+    """Subword-proxy token count: letter runs + digit runs + symbols."""
+    return df.withColumn(out, F.size(F.expr(
+        f"regexp_extract_all({col}, '{BPE_RE}', 0)"
+    )))
+
+
+# Language-ID: tiny per-language stopword lists; prediction = argmax of
+# stopword hits with a deterministic tie order (en first). An n-gram
+# heuristic in the fasttext spirit, sized for an oracle-checkable demo.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "con", "para"],
+    "it": ["il", "la", "di", "e", "che", "non", "una", "per", "con", "sono"],
+}
+
+
+def _hits(col: str, words: list[str]) -> Column:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter(regexp_extract_all(lower({col}), '{TOKEN_RE}', 0), "
+        f"t -> array_contains(array({arr}), t)))"
+    )
+
+
+def lang_id(df: DataFrame, col: str = "text", out: str = "pred_lang") -> DataFrame:
+    """Stopword-hit language ID; ties resolve in declaration order.
+
+    Declared langs with zero hits fall through to 'und' (undetermined).
+    """
+    langs = list(STOPWORDS)
+    hit_cols = {lang: _hits(col, STOPWORDS[lang]) for lang in langs}
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    # reversed: earlier language wins ties because later whens wrap outside
+    for lang in reversed(langs):
+        pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.withColumn(out, pred)
+
+
+def quality_score(df: DataFrame, col: str = "text", out: str = "quality") -> DataFrame:
+    """Composite document-quality score in [0, 1].
+
+    Components (all portable arithmetic):
+      * length_ok     — 1 if 20 <= chars <= 20000, scaled below/above
+      * alpha_ratio   — alnum chars / chars
+      * stopword_sig  — min(1, en-stopword hits / 5): natural prose signal
+      * word_len_ok   — mean word length in [3, 12]
+
+    score = 0.25*each. Also emits the components for inspection.
+    """
+    chars = F.length(F.col(col)).cast("double")
+    toks = tokens(col)
+    n_tok = F.size(toks).cast("double")
+    alpha = F.length(F.regexp_replace(F.col(col), "[^A-Za-z0-9]", "")).cast("double")
+    alpha_ratio = F.when(chars > 0, alpha / chars).otherwise(F.lit(0.0))
+    length_ok = F.when(chars < 20, chars / 20).when(
+        chars > 20000, F.lit(20000.0) / chars
+    ).otherwise(F.lit(1.0))
+    stop_sig = F.least(F.lit(1.0), _hits(col, STOPWORDS["en"]).cast("double") / 5)
+    mean_wl = F.when(n_tok > 0, alpha / n_tok).otherwise(F.lit(0.0))
+    word_len_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), 1.0).otherwise(0.0)
+    return (
+        df.withColumn("length_ok", length_ok)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("stop_sig", stop_sig)
+        .withColumn("word_len_ok", word_len_ok)
+        .withColumn(
+            out,
+            0.25 * F.col("length_ok")
+            + 0.25 * F.col("alpha_ratio")
+            + 0.25 * F.col("stop_sig")
+            + 0.25 * F.col("word_len_ok"),
+        )
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, col: str = "text", *, w: int = 5, out: str = "fingerprint"
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the lexicographic MIN of the
+    md5 hashes of all word ``w``-gram shingles (one representative hash
+    per doc — robust to local edits, unlike a whole-text hash which is
+    also emitted as ``exact_hash``).
+
+    Narrow stage: the shingle array never leaves the row (array_min over
+    a transform), so there is NO explode and NO shuffle.
+    """
+    sh = (
+        f"transform(sequence(1, greatest(size(regexp_extract_all(lower({col}), "
+        f"'{TOKEN_RE}', 0)) - {w - 1}, 1)), "
+        f"i -> md5(concat_ws(' ', slice(regexp_extract_all(lower({col}), "
+        f"'{TOKEN_RE}', 0), i, {w}))))"
+    )
+    return df.withColumn(out, F.expr(f"array_min({sh})")).withColumn(
+        "exact_hash", F.md5(F.lower(F.regexp_replace(F.col(col), r"\s+", " ")))
+    )

@@ -1,0 +1,151 @@
+"""Unit tests for the training-data pipeline function modules (beyond the
+oracle-parity gate): semantic properties the SQL compare can't express."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from opentelemetry_collector_contrib_spark.functions import (  # noqa: E402
+    dedup as dd,
+    multimodal as mm,
+    similarity as sim,
+    text as tx,
+)
+from opentelemetry_collector_contrib_spark.sources import documents as docsrc  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return docsrc.documents_df(spark, sf_dir).cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    rows = {r["keep_id"]: r["n_dups"] for r in dd.exact_dedup(df).collect()}
+    # whitespace-normalized + lowercased => 1 and 2 collapse
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark shuffles and partitions"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sh = dd.shingles(df, w=3)
+    sigs = dd.minhash_signatures(sh, k=12)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dd.lsh_pairs(sigs, k=12, bands=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in dd.simhash(df).collect()}
+    assert fp[1] == fp[2]
+    assert len(fp[1]) == 16 and set(fp[1]) <= {"0", "1"}
+
+
+def test_ann_bruteforce_self_similarity_and_rank(spark, sf_dir):
+    emb = docsrc.embeddings_df(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = sim.ann_bruteforce_topk(emb, q, k=3).collect()
+    assert len(out) == 3
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    sims = [r["sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["vec_id"] != 0 for r in out)  # self excluded
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_ann_lsh_is_subset_of_bruteforce_candidates(spark, sf_dir):
+    emb = docsrc.embeddings_df(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 4)
+    lsh = sim.ann_lsh_topk(emb, q, k=5).collect()
+    # every LSH neighbor shares the query's bucket by construction
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select("vec_id", sim.lsh_bucket().alias("b")).collect()
+    }
+    for r in lsh:
+        assert buckets[r["vec_id"]] == buckets[r["q_id"]]
+
+
+def test_lang_id_on_known_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy"),
+            (2, "der hund ist nicht mit der katze und das haus"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in tx.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_ranks_prose_over_junk(spark):
+    prose = (
+        "the history of the project is long and it is described in the "
+        "documents that were written for the archive with care"
+    )
+    junk = "@@@@ #### !!!! $$$$ %%%%"
+    df = spark.createDataFrame([(1, prose), (2, junk)], ["doc_id", "text"])
+    out = {r["doc_id"]: r["quality"] for r in tx.quality_score(df).collect()}
+    assert out[1] > out[2]
+    assert 0.0 <= out[2] <= out[1] <= 1.0
+
+
+def test_fingerprint_stable_under_local_edit(spark):
+    base = " ".join(f"word{i}" for i in range(50))
+    edited = base.replace("word49", "changed")  # edit at the very end
+    df = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in tx.doc_fingerprint(df, w=5).collect()}
+    # whole-text hash differs, min-shingle fingerprint usually survives a
+    # single localized edit (here: min over 46 shingles, 5 affected)
+    assert rows[1]["exact_hash"] != rows[2]["exact_hash"]
+    assert rows[1]["fingerprint"] == rows[2]["fingerprint"]
+
+
+def test_multimodal_real_impl_raises(spark, docs):
+    payloads = mm.attach_fake_payload(docs.limit(5))
+    feats = mm.decode_features(payloads, impl="real")
+    with pytest.raises(Exception) as exc:
+        feats.collect()
+    assert "NotImplementedError" in str(exc.value) or "media decode" in str(exc.value)
+
+
+def test_multimodal_fake_features_shape(spark, docs):
+    payloads = mm.attach_fake_payload(docs.limit(10))
+    feats = mm.decode_features(payloads, impl="fake")
+    rows = feats.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["kind"] in ("image", "audio", "video")
+        assert r["n_bytes"] > 4
+        assert 0.0 <= r["byte_entropy_proxy"] <= 1.0
+        assert r["frame_count"] >= 1
+        if r["kind"] == "image":
+            assert r["frame_count"] == 1
+
+
+def test_multimodal_rebalance_partition_count(spark, docs):
+    payloads = mm.attach_fake_payload(docs.limit(100))
+    out = mm.rebalance_for_payloads(
+        payloads, approx_row_bytes=1 << 20, target_partition_bytes=16 << 20
+    )
+    # 100 rows * 1MiB / 16MiB => ~6 partitions
+    assert 1 <= out.rdd.getNumPartitions() <= 16
