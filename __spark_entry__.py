@@ -206,6 +206,31 @@ def q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", F.col("text").alias("redacted"))
 
 
+def q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformprocessor statement sequence compiled to Column ops
+    (processor/transformprocessor/config.go:40-46; pkg/ottl grammar)."""
+    from opentelemetry_collector_contrib_spark.operators import ottl
+
+    turns = src.transcripts_df(spark, sf_dir)
+    out = ottl.apply_statements(
+        turns,
+        [
+            "set(pipeline, 'logs')",
+            "set(norm_role, ToUpperCase(role))",
+            "replace_pattern(body, 'user=[0-9]+', 'user=****')",
+            "set(conv_hash, SHA256(conv_id)) where role == 'assistant'",
+        ],
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "pipeline",
+        "norm_role",
+        F.col("text").alias("redacted"),
+        "conv_hash",
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings corpora)
 # ---------------------------------------------------------------------------
@@ -305,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recombine": q_recombine,
         "attributes_actions": q_attributes_actions,
         "redaction": q_redaction,
+        "ottl_transform": q_ottl_transform,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -549,6 +575,11 @@ def oracle_sql() -> dict[str, str]:
         "redaction": f"{_T} "
         "SELECT conv_id, turn_idx, regexp_replace(text, 'user=[0-9]+', '****', 'g') "
         "AS redacted FROM transcripts",
+        "ottl_transform": f"{_T} "
+        "SELECT conv_id, turn_idx, 'logs' AS pipeline, upper(role) AS norm_role, "
+        "regexp_replace(text, 'user=[0-9]+', 'user=****', 'g') AS redacted, "
+        "CASE WHEN role = 'assistant' THEN sha256(conv_id) END AS conv_hash "
+        "FROM transcripts",
         # --- training-data ops ---
         "dedup_exact": (
             "SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash, "
