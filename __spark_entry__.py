@@ -206,6 +206,23 @@ def q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", F.col("text").alias("redacted"))
 
 
+def q_conv_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn text equality under stable turn ordering (north_rule
+    invariant): order-insensitive-to-shuffle per-conv digest."""
+    from opentelemetry_collector_contrib_spark.plans import ordering
+
+    turns = src.transcripts_df(spark, sf_dir)
+    return ordering.conv_text_digest(turns)
+
+
+def q_salted_count_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation == plain groupBy (skew hardening)."""
+    from opentelemetry_collector_contrib_spark.plans import ordering
+
+    turns = src.transcripts_df(spark, sf_dir)
+    return ordering.salted_count(turns, ["role"], n_salt=16)
+
+
 def q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformprocessor statement sequence compiled to Column ops
     (processor/transformprocessor/config.go:40-46; pkg/ottl grammar)."""
@@ -331,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attributes_actions": q_attributes_actions,
         "redaction": q_redaction,
         "ottl_transform": q_ottl_transform,
+        "conv_text_digest": q_conv_text_digest,
+        "salted_count_by_role": q_salted_count_by_role,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -575,6 +594,12 @@ def oracle_sql() -> dict[str, str]:
         "redaction": f"{_T} "
         "SELECT conv_id, turn_idx, regexp_replace(text, 'user=[0-9]+', '****', 'g') "
         "AS redacted FROM transcripts",
+        "conv_text_digest": f"{_T} "
+        "SELECT conv_id, count(*) AS n_turns, "
+        "md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS digest "
+        "FROM transcripts GROUP BY conv_id",
+        "salted_count_by_role": f"{_T} "
+        "SELECT role, count(*) AS n FROM transcripts GROUP BY role",
         "ottl_transform": f"{_T} "
         "SELECT conv_id, turn_idx, 'logs' AS pipeline, upper(role) AS norm_role, "
         "regexp_replace(text, 'user=[0-9]+', 'user=****', 'g') AS redacted, "
