@@ -206,6 +206,208 @@ def q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", F.col("text").alias("redacted"))
 
 
+# ---------------------------------------------------------------------------
+# wider parser / transformer / processor coverage. Inputs the transcripts
+# table lacks (syslog lines, container logs, JSON, CSV, URIs) are
+# synthesized IN the query from transcript columns via portable
+# constructions both engines mirror — the operator under test is the
+# parser, not the generator.
+# ---------------------------------------------------------------------------
+
+_SYSLOG_LINE = (
+    "'<' || cast(turn_idx % 192 AS string) || '>1 2024-01-01T12:30:0' "
+    "|| cast(turn_idx % 10 AS string) || 'Z host' "
+    "|| cast(turn_idx % 5 AS string) || ' app-' || role || ' ' "
+    "|| cast(turn_idx AS string) || ' m1 - ' || text"
+)
+
+
+def q_syslog_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    turns = src.transcripts_df(spark, sf_dir)
+    lines = turns.select(
+        "conv_id", "turn_idx", F.expr(_SYSLOG_LINE).alias("text")
+    )
+    out = parsers.syslog_parse(lines, protocol="rfc5424")
+    return out.select(
+        "conv_id", "turn_idx", "parse_ok", "hostname", "appname",
+        "facility", "severity", "message",
+    )
+
+
+_CRI_LINE = (
+    "'2024-01-01T00:00:0' || cast(turn_idx % 10 AS string) || 'Z ' "
+    "|| (CASE WHEN turn_idx % 2 = 0 THEN 'stdout' ELSE 'stderr' END) "
+    "|| ' ' || (CASE WHEN turn_idx % 3 = 2 THEN 'F' ELSE 'P' END) "
+    "|| ' seg-' || cast(turn_idx AS string) || '-' || role"
+)
+_DOCKER_LINE = (
+    "'{\"log\":\"line-' || cast(turn_idx AS string) || '-' || role "
+    "|| '\",\"stream\":\"stdout\",\"time\":\"2024-01-01T00:00:00Z\"}'"
+)
+_CONTAINER_LINE = (
+    f"CASE WHEN turn_idx % 2 = 0 THEN {_DOCKER_LINE} ELSE {_CRI_LINE} END"
+)
+
+
+def q_container_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    turns = src.transcripts_df(spark, sf_dir)
+    lines = turns.select(
+        "conv_id", "turn_idx", F.expr(_CONTAINER_LINE).alias("text")
+    )
+    out = parsers.container_parse(lines)
+    return out.select(
+        "conv_id", "turn_idx", "container_format", "container_time",
+        "stream", "logtag", "log",
+    )
+
+
+def q_container_recombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRI partial-line merge: P segments concatenate into the next F
+    (operator/parser/container/config.go:63-68,84-89)."""
+    turns = src.transcripts_df(spark, sf_dir)
+    lines = turns.select(
+        "conv_id", "turn_idx", F.expr(_CRI_LINE).alias("text")
+    )
+    out = parsers.container_parse(lines, recombine_partials=True)
+    return out.select("conv_id", "turn_idx", "log", "n_combined")
+
+
+GROK_QUERY_PATTERN = (
+    "%{TIMESTAMP_ISO8601:g_ts} %{LOGLEVEL:g_level} "
+    "svc-%{INT:g_svc}: %{GREEDYDATA:g_rest}"
+)
+
+# SQL-embedded mirrors of the parser regexes (shared strings => zero drift)
+from opentelemetry_collector_contrib_spark.operators import grok as _grokmod  # noqa: E402
+from opentelemetry_collector_contrib_spark.operators.parsers import (  # noqa: E402
+    _CRI_PATTERN as _CRI_SQL,
+    _RFC5424 as _RFC5424_SQL,
+)
+
+_GROK_SQL = _grokmod.grok_to_regex(GROK_QUERY_PATTERN)
+
+
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_contrib_spark.operators import grok
+
+    turns = src.transcripts_df(spark, sf_dir)
+    out = grok.grok_parse(turns, GROK_QUERY_PATTERN)
+    return out.select(
+        "conv_id", "turn_idx", "parse_ok", "g_ts", "g_level", "g_svc", "g_rest"
+    )
+
+
+_JSON_LINE = (
+    "'{\"a\":' || cast(turn_idx AS string) || ',\"b\":\"' || role || '\"}'"
+)
+
+
+def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    turns = src.transcripts_df(spark, sf_dir)
+    lines = turns.select("conv_id", "turn_idx", F.expr(_JSON_LINE).alias("text"))
+    out = parsers.json_parse(lines, "a long, b string")
+    return out.select("conv_id", "turn_idx", "parse_ok", "a", "b")
+
+
+_CSV_LINE = "role || ',' || tool || ',' || cast(turn_idx AS string)"
+
+
+def q_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    turns = src.transcripts_df(spark, sf_dir)
+    lines = turns.select("conv_id", "turn_idx", F.expr(_CSV_LINE).alias("text"))
+    out = parsers.csv_parse(lines, ["c_role", "c_tool", "c_idx"])
+    return out.select("conv_id", "turn_idx", "parse_ok", "c_role", "c_tool", "c_idx")
+
+
+_URI_LINE = (
+    "'https://host' || cast(turn_idx % 3 AS string) "
+    "|| '.example.com/path/' || role || '?q=' || cast(turn_idx AS string)"
+)
+
+
+def q_uri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    turns = src.transcripts_df(spark, sf_dir)
+    lines = turns.select("conv_id", "turn_idx", F.expr(_URI_LINE).alias("uri"))
+    out = parsers.uri_parse(lines)
+    return out.select("conv_id", "turn_idx", "scheme", "host", "path", "query")
+
+
+def q_time_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epoch-layout time parse (operator/helper/time.go: epoch ms) —
+    round-trips the original timestamp."""
+    turns = src.transcripts_df(spark, sf_dir)
+    with_ms = turns.withColumn("epoch_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+    out = parsers.time_parse(
+        with_ms, parse_from="epoch_ms", layout="ms", layout_type="epoch"
+    )
+    return out.select("conv_id", "turn_idx", "event_ts")
+
+
+def q_transformer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add/copy/move/unquote/regex_replace/assign_keys in one chain
+    (stanza transformer family, SURVEY.md §2.3)."""
+    turns = src.transcripts_df(spark, sf_dir)
+    out = transformers.add(turns, "pipeline", "logs")
+    out = transformers.add(
+        out, "env_kind", F.lit("sys"), if_cond=F.col("role") == "system"
+    )
+    out = transformers.copy(out, "conv_id", "conv_copy")
+    out = transformers.move(out, "role", "actor")
+    out = out.withColumn("quoted_tool", F.concat(F.lit('"'), F.col("tool"), F.lit('"')))
+    out = transformers.unquote(out, "quoted_tool")
+    out = transformers.regex_replace(out, "text", r"\d", "#")
+    return out.select(
+        "conv_id", "turn_idx", "pipeline", "env_kind", "conv_copy",
+        "actor", "quoted_tool", F.col("text").alias("masked"),
+    )
+
+
+def q_attr_insert_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """attributesprocessor INSERT/UPDATE/DELETE actions
+    (attraction.go:287-311)."""
+    turns = src.transcripts_df(spark, sf_dir)
+    df = turns.withColumn(
+        "env", F.when(F.col("role") == "system", F.lit("pre-set"))
+    )
+    df = processors.attr_insert(df, "env", "inserted")        # only where null
+    df = processors.attr_update(df, "env", F.upper(F.col("env")))  # only where set
+    df = processors.attr_insert(df, "note", "fresh")           # absent -> created
+    df = processors.attr_delete(df, "tool")
+    assert "tool" not in df.columns
+    return df.select("conv_id", "turn_idx", "env", "note")
+
+
+def q_filter_processor_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filterprocessor: drop rows matching ANY OTTL condition (OR'd,
+    processor/filterprocessor/logs.go:68-99)."""
+    turns = src.transcripts_df(spark, sf_dir)
+    out = processors.filter_logs(
+        turns,
+        F.col("role") == "system",
+        F.col("tool") == "bash",
+    )
+    return out.select("conv_id", "turn_idx", "role", "tool")
+
+
+_OTLP_LINE = (
+    "'{\"body\":\"' || role || '\",\"severityText\":\"INFO\",'"
+    " || '\"attributes\":{\"tool\":\"' || tool || '\"}}'"
+)
+
+
+def q_otlpjson_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """otlpjson connector (connector/otlpjsonconnector/): logs-as-OTLP-JSON
+    -> parsed records via from_json with explicit schema."""
+    turns = src.transcripts_df(spark, sf_dir)
+    lines = turns.select("conv_id", "turn_idx", F.expr(_OTLP_LINE).alias("text"))
+    schema = "body string, severityText string, attributes struct<tool: string>"
+    out = parsers.json_parse(lines, schema)
+    return out.select(
+        "conv_id", "turn_idx", "body", "severityText",
+        F.col("attributes.tool").alias("attr_tool"),
+    )
+
+
 def q_conv_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn text equality under stable turn ordering (north_rule
     invariant): order-insensitive-to-shuffle per-conv digest."""
@@ -350,6 +552,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ottl_transform": q_ottl_transform,
         "conv_text_digest": q_conv_text_digest,
         "salted_count_by_role": q_salted_count_by_role,
+        "syslog_rfc5424": q_syslog_rfc5424,
+        "container_parse": q_container_parse,
+        "container_recombine": q_container_recombine,
+        "grok_parse": q_grok_parse,
+        "json_parse": q_json_parse,
+        "csv_parse": q_csv_parse,
+        "uri_parse": q_uri_parse,
+        "time_epoch_roundtrip": q_time_epoch_roundtrip,
+        "transformer_suite": q_transformer_suite,
+        "attr_insert_update_delete": q_attr_insert_update_delete,
+        "filter_processor_multi": q_filter_processor_multi,
+        "otlpjson_connector": q_otlpjson_connector,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -594,6 +808,89 @@ def oracle_sql() -> dict[str, str]:
         "redaction": f"{_T} "
         "SELECT conv_id, turn_idx, regexp_replace(text, 'user=[0-9]+', '****', 'g') "
         "AS redacted FROM transcripts",
+        "syslog_rfc5424": f"{_T}, "
+        f"lines AS (SELECT conv_id, turn_idx, {_SYSLOG_LINE} AS text FROM transcripts) "
+        f"SELECT conv_id, turn_idx, regexp_matches(text, '{_RFC5424_SQL}') AS parse_ok, "
+        + ", ".join(
+            f"CASE WHEN regexp_matches(text, '{_RFC5424_SQL}') THEN "
+            f"regexp_extract(text, '{_RFC5424_SQL}', {i}) END AS {name}"
+            for i, name in ((4, "hostname"), (5, "appname"), (9, "message"))
+        )
+        + f", CASE WHEN regexp_matches(text, '{_RFC5424_SQL}') THEN "
+        f"cast(floor(cast(regexp_extract(text, '{_RFC5424_SQL}', 1) AS int) / 8) AS int) END "
+        "AS facility, "
+        f"CASE WHEN regexp_matches(text, '{_RFC5424_SQL}') THEN "
+        f"cast(regexp_extract(text, '{_RFC5424_SQL}', 1) AS int) % 8 END AS severity "
+        "FROM lines",
+        "container_parse": f"{_T}, "
+        f"lines AS (SELECT conv_id, turn_idx, {_CONTAINER_LINE} AS text FROM transcripts) "
+        "SELECT conv_id, turn_idx, "
+        "CASE WHEN text LIKE '{%' THEN 'docker' "
+        f"WHEN regexp_matches(text, '{_CRI_SQL}') THEN 'cri' ELSE 'unknown' END "
+        "AS container_format, "
+        "CASE WHEN text LIKE '{%' THEN json_extract_string(text, '$.time') "
+        f"ELSE regexp_extract(text, '{_CRI_SQL}', 1) END AS container_time, "
+        "CASE WHEN text LIKE '{%' THEN json_extract_string(text, '$.stream') "
+        f"ELSE regexp_extract(text, '{_CRI_SQL}', 2) END AS stream, "
+        "CASE WHEN text LIKE '{%' THEN 'F' "
+        f"ELSE regexp_extract(text, '{_CRI_SQL}', 3) END AS logtag, "
+        "CASE WHEN text LIKE '{%' THEN json_extract_string(text, '$.log') "
+        f"ELSE regexp_extract(text, '{_CRI_SQL}', 4) END AS log "
+        "FROM lines",
+        "container_recombine": f"{_T}, "
+        f"lines AS (SELECT conv_id, turn_idx, {_CRI_LINE} AS text FROM transcripts), "
+        f"parsed AS (SELECT conv_id, turn_idx, "
+        f"regexp_extract(text, '{_CRI_SQL}', 4) AS log, "
+        "CASE WHEN turn_idx % 3 = 2 THEN 1 ELSE 0 END AS is_f FROM lines), "
+        "gids AS (SELECT *, coalesce(sum(is_f) OVER (PARTITION BY conv_id "
+        "ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS gid FROM parsed) "
+        "SELECT conv_id, min(turn_idx) AS turn_idx, "
+        "string_agg(log, '' ORDER BY turn_idx) AS log, count(*) AS n_combined "
+        "FROM gids GROUP BY conv_id, gid",
+        "grok_parse": f"{_T} "
+        f"SELECT conv_id, turn_idx, regexp_matches(text, '{_GROK_SQL}') AS parse_ok, "
+        + ", ".join(
+            f"CASE WHEN regexp_matches(text, '{_GROK_SQL}') THEN "
+            f"regexp_extract(text, '{_GROK_SQL}', {i + 1}) END AS {g}"
+            for i, g in enumerate(["g_ts", "g_level", "g_svc", "g_rest"])
+        )
+        + " FROM transcripts",
+        "json_parse": f"{_T}, "
+        f"lines AS (SELECT conv_id, turn_idx, {_JSON_LINE} AS text FROM transcripts) "
+        "SELECT conv_id, turn_idx, TRUE AS parse_ok, "
+        "cast(json_extract(text, '$.a') AS bigint) AS a, "
+        "json_extract_string(text, '$.b') AS b FROM lines",
+        "csv_parse": f"{_T}, "
+        f"lines AS (SELECT conv_id, turn_idx, {_CSV_LINE} AS text FROM transcripts) "
+        "SELECT conv_id, turn_idx, "
+        "len(string_split(text, ',')) >= 3 AS parse_ok, "
+        "split_part(text, ',', 1) AS c_role, split_part(text, ',', 2) AS c_tool, "
+        "split_part(text, ',', 3) AS c_idx FROM lines",
+        "uri_parse": f"{_T}, "
+        f"lines AS (SELECT conv_id, turn_idx, {_URI_LINE} AS uri FROM transcripts) "
+        "SELECT conv_id, turn_idx, "
+        "regexp_extract(uri, '^([a-z]+)://', 1) AS scheme, "
+        "regexp_extract(uri, '^[a-z]+://([^/?#]+)', 1) AS host, "
+        "regexp_extract(uri, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path, "
+        "regexp_extract(uri, '\\?([^#]*)', 1) AS query FROM lines",
+        "time_epoch_roundtrip": f"{_T} "
+        "SELECT conv_id, turn_idx, date_trunc('milliseconds', ts) AS event_ts FROM transcripts",
+        "transformer_suite": f"{_T} "
+        "SELECT conv_id, turn_idx, 'logs' AS pipeline, "
+        "CASE WHEN role = 'system' THEN 'sys' END AS env_kind, "
+        "conv_id AS conv_copy, role AS actor, tool AS quoted_tool, "
+        "regexp_replace(text, '\\d', '#', 'g') AS masked FROM transcripts",
+        "attr_insert_update_delete": f"{_T} "
+        "SELECT conv_id, turn_idx, "
+        "CASE WHEN role = 'system' THEN 'PRE-SET' ELSE 'INSERTED' END AS env, "
+        "'fresh' AS note FROM transcripts",
+        "filter_processor_multi": f"{_T} "
+        "SELECT conv_id, turn_idx, role, tool FROM transcripts "
+        "WHERE NOT (role = 'system' OR tool = 'bash')",
+        "otlpjson_connector": f"{_T} "
+        "SELECT conv_id, turn_idx, role AS body, 'INFO' AS severityText, "
+        "tool AS attr_tool FROM transcripts",
         "conv_text_digest": f"{_T} "
         "SELECT conv_id, count(*) AS n_turns, "
         "md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS digest "

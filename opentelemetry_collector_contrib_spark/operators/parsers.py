@@ -46,6 +46,8 @@ __all__ = [
     "severity_parse",
     "time_parse",
     "trace_parse",
+    "syslog_parse",
+    "container_parse",
     "validate_regex_config",
 ]
 
@@ -260,4 +262,103 @@ def trace_parse(
     out = df.withColumn("trace_id", F.unhex(F.col(trace_field)))
     if span_field:
         out = out.withColumn("span_id", F.unhex(F.col(span_field)))
+    return out
+
+
+# RFC5424: <PRI>VERSION TS HOSTNAME APP-NAME PROCID MSGID [SD] MSG
+_RFC5424 = (
+    r"^<(\d{1,3})>(\d) (\S+) (\S+) (\S+) (\S+) (\S+) "
+    r"(-|(?:\[[^\]]*\])+) ?(.*)$"
+)
+_RFC5424_GROUPS = [
+    "pri_raw", "version", "sl_ts", "hostname", "appname",
+    "proc_id", "msg_id", "structured_data", "message",
+]
+
+# RFC3164: <PRI>MMM dd HH:MM:SS HOSTNAME TAG[pid]: MSG
+_RFC3164 = (
+    r"^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+) "
+    r"([^\[:]+)(?:\[(\d+)\])?: ?(.*)$"
+)
+_RFC3164_GROUPS = ["pri_raw", "sl_ts", "hostname", "appname", "proc_id", "message"]
+
+
+def syslog_parse(
+    df: DataFrame, *, protocol: str = "rfc5424", parse_from: str = "text",
+    on_error: str = "send",
+) -> DataFrame:
+    """syslog_parser (operator/parser/syslog/): RFC3164/RFC5424 structured
+    parse. Priority decomposes as facility = pri >> 3, severity = pri & 7
+    (syslog protocol semantics the reference delegates to
+    influxdata/go-syslog). One regex bundle, whole-stage codegen."""
+    if protocol == "rfc5424":
+        pat, groups = _RFC5424, _RFC5424_GROUPS
+    elif protocol == "rfc3164":
+        pat, groups = _RFC3164, _RFC3164_GROUPS
+    else:
+        raise ValueError(protocol)
+    out = regex_parse(df, pat, groups, parse_from=parse_from, on_error=on_error)
+    pri = F.col("pri_raw").cast("int")
+    return (
+        out.withColumn("facility", F.floor(pri / 8).cast("int"))
+        .withColumn("severity", pri % 8)
+        .drop("pri_raw")
+    )
+
+
+# container operator (operator/parser/container/): format auto-detect +
+# parse; partial-line recombine is composed separately via
+# transformers.recombine(is_last = logtag == 'F').
+_CRI_PATTERN = r"^(\S+) (stdout|stderr) ([PF]) ?(.*)$"
+
+
+def container_parse(
+    df: DataFrame, *, parse_from: str = "text", order_col: str = "turn_idx",
+    source_col: str = "conv_id", recombine_partials: bool = False,
+) -> DataFrame:
+    """container parser (operator/parser/container/config.go:22-89):
+    detect docker-JSON vs containerd/CRI-O per line (a when-chain — the
+    reference detects format from the first line, per-line dispatch is
+    strictly more general), extract (time, stream, logtag, log).
+
+    With ``recombine_partials`` the CRI partial-line convention is
+    applied: logtag 'P' lines merge forward into the next 'F' line
+    (config.go:63-68,84-89), via the standard recombine stage."""
+    src = F.col(parse_from)
+    is_docker = src.startswith("{")
+    cri_ok = src.rlike(_CRI_PATTERN)
+    g = lambda i: F.regexp_extract(src, _CRI_PATTERN, i)  # noqa: E731
+    out = df.select(
+        "*",
+        F.when(is_docker, F.lit("docker"))
+        .when(cri_ok, F.lit("cri"))
+        .otherwise(F.lit("unknown"))
+        .alias("container_format"),
+        F.coalesce(
+            F.when(is_docker, F.get_json_object(src, "$.time")),
+            F.when(cri_ok, g(1)),
+        ).alias("container_time"),
+        F.coalesce(
+            F.when(is_docker, F.get_json_object(src, "$.stream")),
+            F.when(cri_ok, g(2)),
+        ).alias("stream"),
+        # docker JSON lines are always complete records => logtag F
+        F.when(is_docker, F.lit("F")).when(cri_ok, g(3)).alias("logtag"),
+        F.coalesce(
+            F.when(is_docker, F.get_json_object(src, "$.log")),
+            F.when(cri_ok, g(4)),
+        ).alias("log"),
+    )
+    out = out.withColumn("parse_ok", F.col("container_format") != "unknown")
+    if recombine_partials:
+        from .transformers import recombine
+
+        out = recombine(
+            out.filter(F.col("parse_ok")),
+            source_col=source_col,
+            order_col=order_col,
+            combine_field="log",
+            combine_with="",
+            is_last=F.col("logtag") == "F",
+        )
     return out
