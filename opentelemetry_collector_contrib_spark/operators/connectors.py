@@ -42,6 +42,7 @@ def route_logs(
     *,
     default_sinks: list[str] | None = None,
     conv_col: str = "conv_id",
+    resource_strategy: str = "broadcast",
 ) -> tuple[DataFrame, dict[str, list[str]]]:
     """Compile the routing table into ONE first-match-wins tag column.
 
@@ -52,22 +53,49 @@ def route_logs(
     route-label -> sink-list map).  Rows with ``_route`` null matched
     nothing and there is no default: they are dropped by the writer.
 
-    Resource-context conditions become ``max(cond) OVER (PARTITION BY
-    conv)`` — one extra shuffle ONLY if any resource route exists.
+    Resource-context conditions ("any row of the conversation matches
+    ⇒ the whole conversation matches") have two physical strategies:
+
+      * ``broadcast`` (default): aggregate the DISTINCT matching conv ids
+        (a pruned-column scan + map-side-combined distinct) and broadcast
+        them back as a semi-join flag. The fact table is never shuffled —
+        at 100 TB an extra 2-column scan with the predicate pushed down
+        is far cheaper than exchanging every routed column. Matches the
+        k8sattributes informer-cache shape.
+      * ``window``: ``max(cond) OVER (PARTITION BY conv)`` — one full
+        shuffle of the fact table; correct fallback when the matching
+        conv set itself could be too large to broadcast.
     """
     conds: list[tuple[Column, str]] = []
     sink_map: dict[str, list[str]] = {}
     needs_window = any(r.context == "resource" for r in routes)
-    w = Window.partitionBy(conv_col) if needs_window else None
+    w = (
+        Window.partitionBy(conv_col)
+        if needs_window and resource_strategy == "window"
+        else None
+    )
     for i, r in enumerate(routes):
         cond = r.condition
         if r.context == "resource":
-            cond = F.max(cond.cast("int")).over(w) == 1
+            if resource_strategy == "window":
+                cond = F.max(cond.cast("int")).over(w) == 1
+            else:
+                flag = f"_rc_{i}"
+                matches = (
+                    df.filter(F.coalesce(r.condition, F.lit(False)))
+                    .select(F.col(conv_col))
+                    .distinct()
+                    .withColumn(flag, F.lit(True))
+                )
+                df = df.join(F.broadcast(matches), on=conv_col, how="left")
+                cond = F.col(flag).isNotNull()
         label = r.label(i)
         conds.append((F.coalesce(cond, F.lit(False)), label))
         sink_map[label] = list(r.sinks)
     default = "default" if default_sinks else None
-    tagged = df.withColumn("_route", router_tag(conds, default=default))
+    tagged = df.withColumn("_route", router_tag(conds, default=default)).drop(
+        *[f"_rc_{i}" for i in range(len(routes))]
+    )
     if default_sinks:
         sink_map["default"] = list(default_sinks)
     return tagged, sink_map
