@@ -138,6 +138,7 @@ def recombine(
     is_last: Column | None = None,
     is_first: Column | None = None,
     max_batch_size: int | None = None,
+    overwrite_with: str = "oldest",
 ) -> DataFrame:
     """recombine transformer (transformer/recombine/transformer.go:25-232):
     stateful multi-line merge keyed by source, boundaries marked by
@@ -165,18 +166,34 @@ def recombine(
     else:
         raise ValueError("need is_first or is_last")
     tagged = df.withColumn("_gid", gid)
+    if max_batch_size is not None:
+        # flush every max_batch_size entries within a group
+        # (transformer.go:60-70): sub-group by position // size
+        pos = F.row_number().over(
+            Window.partitionBy(source_col, "_gid").orderBy(order_col)
+        )
+        tagged = tagged.withColumn(
+            "_gid2", F.floor((pos - 1) / max_batch_size)
+        )
+    else:
+        tagged = tagged.withColumn("_gid2", F.lit(0))
     pair = F.struct(F.col(order_col).alias("o"), F.col(combine_field).alias("t"))
+    # base-entry choice (transformer.go:154-166): oldest keeps the first
+    # row's order key, newest the last's
+    base_order = (
+        F.max(order_col) if overwrite_with == "newest" else F.min(order_col)
+    )
     return (
-        tagged.groupBy(source_col, "_gid")
+        tagged.groupBy(source_col, "_gid", "_gid2")
         .agg(
             F.concat_ws(
                 combine_with,
                 F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["t"]),
             ).alias(combine_field),
-            F.min(order_col).alias(order_col),
+            base_order.alias(order_col),
             F.count(F.lit(1)).alias("n_combined"),
         )
-        .drop("_gid")
+        .drop("_gid", "_gid2")
     )
 
 

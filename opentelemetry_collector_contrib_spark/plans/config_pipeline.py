@@ -1,0 +1,163 @@
+"""Config-driven pipeline assembly — the collector-service analog.
+
+The reference wires receivers/processors/connectors/exporters from YAML
+(operator registry pkg/stanza/operator/registry.go; pipeline DAG build
+pkg/stanza/pipeline/directed.go:29-67). Here a plain dict (load it from
+YAML/JSON upstream if desired) declares the same stages and compiles to
+ONE logical DataFrame plan — stage order is the list order, conditions
+are Spark SQL strings (`F.expr`), so a user migrating a collector
+config rewrites each operator block one-to-one.
+
+Example::
+
+    CONFIG = {
+        "processors": [
+            {"type": "regex_parser", "pattern": ..., "groups": [...]},
+            {"type": "key_value_parser", "parse_from": "msg", "out": "kv"},
+            {"type": "severity_parser", "parse_from": "level"},
+            {"type": "enrich", "dim": "conv_dim", "on": "conv_id"},
+            {"type": "ottl", "statements": ["set(x, 'y') where ..."]},
+            {"type": "filter", "drop_where": "role = 'system'"},
+        ],
+        "routes": [
+            {"name": "errors", "condition": "level IN ('ERROR','FATAL')",
+             "context": "log", "sinks": ["errors", "audit"]},
+        ],
+        "default_sinks": ["catchall"],
+    }
+
+Unknown processor types fail at build time (registry.go semantics), not
+mid-job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import connectors, ottl, parsers, processors, transformers
+from ..sources import transcripts as src
+from .lineage import Lineage
+
+
+def _stage_regex_parser(df, spark, sf_dir, cfg):
+    return parsers.regex_parse(
+        df, cfg["pattern"], cfg["groups"],
+        parse_from=cfg.get("parse_from", "text"),
+        on_error=cfg.get("on_error", "send"),
+    )
+
+
+def _stage_grok_parser(df, spark, sf_dir, cfg):
+    from ..operators import grok
+
+    return grok.grok_parse(
+        df, cfg["pattern"], definitions=cfg.get("definitions"),
+        parse_from=cfg.get("parse_from", "text"),
+        on_error=cfg.get("on_error", "send"),
+    )
+
+
+def _stage_kv(df, spark, sf_dir, cfg):
+    return parsers.key_value_parse(
+        df, parse_from=cfg.get("parse_from", "text"),
+        pair_delim=cfg.get("pair_delim", " "),
+        kv_delim=cfg.get("kv_delim", "="),
+        out=cfg.get("out", "kv"),
+    )
+
+
+def _stage_severity(df, spark, sf_dir, cfg):
+    return parsers.severity_parse(df, parse_from=cfg.get("parse_from", "level"))
+
+
+def _stage_time(df, spark, sf_dir, cfg):
+    return parsers.time_parse(
+        df, parse_from=cfg.get("parse_from", "ts_raw"),
+        layout=cfg.get("layout", "%Y-%m-%dT%H:%M:%SZ"),
+        layout_type=cfg.get("layout_type", "strptime"),
+    )
+
+
+_DIMS = {
+    "conv_dim": lambda spark, sf_dir: src.conv_dim_df(spark, sf_dir),
+    "tool_dim": lambda spark, sf_dir: src.tool_dim_df(spark),
+}
+
+
+def _stage_enrich(df, spark, sf_dir, cfg):
+    dim = _DIMS[cfg["dim"]](spark, sf_dir)
+    return processors.enrich_lookup(
+        df, dim, on=cfg["on"],
+        insert_if_absent=cfg.get("insert_if_absent", True),
+    )
+
+
+def _stage_ottl(df, spark, sf_dir, cfg):
+    return ottl.apply_statements(
+        df, cfg["statements"], error_mode=cfg.get("error_mode", "propagate")
+    )
+
+
+def _stage_filter(df, spark, sf_dir, cfg):
+    return transformers.filter_drop(
+        df, F.expr(cfg["drop_where"]), drop_ratio=cfg.get("drop_ratio", 1.0)
+    )
+
+
+def _stage_redact(df, spark, sf_dir, cfg):
+    return processors.redact(
+        df, allowed_keys=cfg.get("allowed_keys"),
+        mask_patterns=cfg.get("mask_patterns"),
+        mask_cols=cfg.get("mask_cols"),
+    )
+
+
+STAGE_REGISTRY = {
+    "regex_parser": _stage_regex_parser,
+    "grok_parser": _stage_grok_parser,
+    "key_value_parser": _stage_kv,
+    "severity_parser": _stage_severity,
+    "time_parser": _stage_time,
+    "enrich": _stage_enrich,
+    "ottl": _stage_ottl,
+    "filter": _stage_filter,
+    "redact": _stage_redact,
+}
+
+
+def build_from_config(
+    spark: SparkSession,
+    sf_dir: str,
+    config: dict,
+    *,
+    source: DataFrame | None = None,
+    lineage: Lineage | None = None,
+) -> tuple[DataFrame, dict[str, list[str]]]:
+    """Compile a config dict to (tagged DataFrame, sink_map)."""
+    lin = lineage or Lineage()
+    for p in config.get("processors", []):
+        if p["type"] not in STAGE_REGISTRY:
+            raise ValueError(f"unknown processor type {p['type']!r}")
+
+    df = source if source is not None else src.transcripts_df(spark, sf_dir)
+    for i, p in enumerate(config.get("processors", [])):
+        df = STAGE_REGISTRY[p["type"]](df, spark, sf_dir, p)
+        if p.get("observe"):
+            df = lin.observe(df, f"{i}:{p['type']}")
+
+    routes = [
+        connectors.Route(
+            condition=F.expr(r["condition"]),
+            sinks=list(r["sinks"]),
+            context=r.get("context", "log"),
+            name=r.get("name"),
+        )
+        for r in config.get("routes", [])
+    ]
+    if routes:
+        return connectors.route_logs(
+            df, routes,
+            default_sinks=config.get("default_sinks"),
+            resource_strategy=config.get("resource_strategy", "broadcast"),
+        )
+    return df, {}

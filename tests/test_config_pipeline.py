@@ -1,0 +1,100 @@
+"""Config-driven pipeline: dict config reproduces the hand-built flagship
+pipeline exactly, and unknown stages fail at build time."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from opentelemetry_collector_contrib_spark.operators import connectors  # noqa: E402
+from opentelemetry_collector_contrib_spark.plans import (  # noqa: E402
+    config_pipeline as cfgp,
+    pipeline,
+)
+from opentelemetry_collector_contrib_spark.schema import (  # noqa: E402
+    PARSE_PATTERN,
+    PARSE_GROUPS,
+)
+
+FLAGSHIP_CONFIG = {
+    "processors": [
+        {"type": "regex_parser", "pattern": PARSE_PATTERN, "groups": PARSE_GROUPS},
+        {"type": "key_value_parser", "parse_from": "msg", "out": "kv"},
+        {"type": "severity_parser", "parse_from": "level"},
+        {"type": "enrich", "dim": "conv_dim", "on": "conv_id"},
+        {"type": "enrich", "dim": "tool_dim", "on": "tool"},
+    ],
+    "routes": [
+        {"name": "errors", "condition": "level IN ('ERROR','FATAL')",
+         "context": "log", "sinks": ["errors", "audit"]},
+        {"name": "incident", "condition": "level = 'FATAL'",
+         "context": "resource", "sinks": ["incident"]},
+        {"name": "risky_tools", "condition": "tool <> '' AND risk_tier = 'high'",
+         "context": "log", "sinks": ["risky_tools"]},
+    ],
+    "default_sinks": ["catchall"],
+}
+
+
+def test_config_pipeline_matches_hand_built(spark, sf_dir):
+    tagged, sink_map = cfgp.build_from_config(spark, sf_dir, FLAGSHIP_CONFIG)
+    got = {
+        r["sink"]: r["n"]
+        for r in connectors.routed_union(tagged, sink_map)
+        .groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    expect = {
+        r["sink"]: r["n"]
+        for r in pipeline.per_sink_counts(pipeline.build(spark, sf_dir)).collect()
+    }
+    assert got == expect
+
+
+def test_config_pipeline_with_ottl_and_filter(spark, sf_dir):
+    config = {
+        "processors": [
+            {"type": "regex_parser", "pattern": PARSE_PATTERN, "groups": PARSE_GROUPS},
+            {"type": "ottl", "statements": ["set(flag, 'err') where level == 'ERROR'"]},
+            {"type": "filter", "drop_where": "role = 'system'"},
+            {"type": "redact", "mask_patterns": {"u": r"user=\d+"},
+             "mask_cols": ["text"]},
+        ],
+    }
+    df, sink_map = cfgp.build_from_config(spark, sf_dir, config)
+    assert sink_map == {}
+    rows = df.select("role", "flag", "text").collect()
+    assert all(r["role"] != "system" for r in rows)
+    assert any(r["flag"] == "err" for r in rows)
+    assert not any("user=1" in (r["text"] or "") for r in rows)
+
+
+def test_unknown_stage_type_fails_at_build(spark, sf_dir):
+    with pytest.raises(ValueError, match="unknown processor type"):
+        cfgp.build_from_config(
+            spark, sf_dir, {"processors": [{"type": "bogus"}]}
+        )
+
+
+def test_recombine_options(spark, sf_dir):
+    from opentelemetry_collector_contrib_spark.operators import transformers
+    from opentelemetry_collector_contrib_spark.sources import transcripts as src
+
+    turns = src.transcripts_df(spark, sf_dir)
+    newest = transformers.recombine(
+        turns, is_last=(F.col("turn_idx") % 5 == 4), overwrite_with="newest"
+    )
+    r = newest.filter(F.col("n_combined") == 5).first()
+    assert r is not None and r["turn_idx"] % 5 == 4  # base = newest entry
+    capped = transformers.recombine(
+        turns, is_last=(F.col("turn_idx") % 5 == 4), max_batch_size=2
+    )
+    assert capped.agg(F.max("n_combined")).first()[0] <= 2
+    # total rows preserved across sub-batches
+    assert (
+        capped.agg(F.sum("n_combined")).first()[0]
+        == turns.count()
+    )
