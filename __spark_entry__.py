@@ -408,6 +408,73 @@ def q_otlpjson_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSONARR_LINE = "'[\"' || role || '\",\"' || tool || '\"]'"
+
+
+def q_jsonarray_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonarray_parser (operator/parser/jsonarray/): JSON array string ->
+    slice -> element access."""
+    turns = src.transcripts_df(spark, sf_dir)
+    lines = turns.select("conv_id", "turn_idx", F.expr(_JSONARR_LINE).alias("text"))
+    arr = F.from_json(F.col("text"), "array<string>")
+    return lines.select(
+        "conv_id", "turn_idx",
+        F.element_at(arr, 1).alias("e1"), F.element_at(arr, 2).alias("e2"),
+    )
+
+
+def q_flatten_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten + retain transformers (transformer/{flatten,retain})."""
+    turns = src.transcripts_df(spark, sf_dir)
+    nested = turns.select(
+        "conv_id", "turn_idx", F.struct("role", "tool").alias("nested")
+    )
+    flat = transformers.flatten(nested, "nested")
+    return transformers.retain(flat, ["conv_id", "turn_idx", "role", "tool"])
+
+
+def q_assign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """assign_keys transformer (transformer/assignkeys/transformer.go:30):
+    zip a list with key names into a map."""
+    turns = src.transcripts_df(spark, sf_dir)
+    df = turns.withColumn("vals", F.array("role", "tool"))
+    df = transformers.assign_keys(df, "vals", ["k_role", "k_tool"], "m")
+    return df.select(
+        "conv_id", "turn_idx",
+        F.element_at("m", "k_role").alias("v_role"),
+        F.element_at("m", "k_tool").alias("v_tool"),
+    )
+
+
+def q_redaction_allowed_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """redactionprocessor allowed-key list: non-allowed columns dropped
+    (processor/redactionprocessor/processor.go:29-47)."""
+    turns = src.transcripts_df(spark, sf_dir)
+    return processors.redact(turns, allowed_keys=["conv_id", "turn_idx", "role"])
+
+
+def q_resource_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resourcedetectionprocessor: startup-detected metadata stamped as
+    literal columns; existing values win (override=false)."""
+    turns = src.transcripts_df(spark, sf_dir)
+    df = turns.withColumn(
+        "host_name", F.when(F.col("role") == "system", F.lit("pinned-host"))
+    )
+    df = processors.resource_detect(
+        df, {"os_type": "linux", "cloud_provider": "none", "host_name": "spark-node"}
+    )
+    return df.select("conv_id", "turn_idx", "os_type", "cloud_provider", "host_name")
+
+
+def q_log_dedup_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logdedup with exclude_fields (processor/logdedupprocessor): excluded
+    key doesn't split groups."""
+    df = _parsed(spark, sf_dir)
+    return processors.log_dedup(
+        df, ["role", "level", "tool"], ts_col="ts", exclude=["tool"]
+    )
+
+
 def q_conv_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn text equality under stable turn ordering (north_rule
     invariant): order-insensitive-to-shuffle per-conv digest."""
@@ -552,6 +619,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ottl_transform": q_ottl_transform,
         "conv_text_digest": q_conv_text_digest,
         "salted_count_by_role": q_salted_count_by_role,
+        "jsonarray_parse": q_jsonarray_parse,
+        "flatten_retain": q_flatten_retain,
+        "assign_keys": q_assign_keys,
+        "redaction_allowed_keys": q_redaction_allowed_keys,
+        "resource_detection": q_resource_detection,
+        "log_dedup_exclude": q_log_dedup_exclude,
         "syslog_rfc5424": q_syslog_rfc5424,
         "container_parse": q_container_parse,
         "container_recombine": q_container_recombine,
@@ -808,6 +881,22 @@ def oracle_sql() -> dict[str, str]:
         "redaction": f"{_T} "
         "SELECT conv_id, turn_idx, regexp_replace(text, 'user=[0-9]+', '****', 'g') "
         "AS redacted FROM transcripts",
+        "jsonarray_parse": f"{_T} "
+        "SELECT conv_id, turn_idx, role AS e1, tool AS e2 FROM transcripts",
+        "flatten_retain": f"{_T} "
+        "SELECT conv_id, turn_idx, role, tool FROM transcripts",
+        "assign_keys": f"{_T} "
+        "SELECT conv_id, turn_idx, role AS v_role, tool AS v_tool FROM transcripts",
+        "redaction_allowed_keys": f"{_T} "
+        "SELECT conv_id, turn_idx, role FROM transcripts",
+        "resource_detection": f"{_T} "
+        "SELECT conv_id, turn_idx, 'linux' AS os_type, 'none' AS cloud_provider, "
+        "CASE WHEN role = 'system' THEN 'pinned-host' ELSE 'spark-node' END "
+        "AS host_name FROM transcripts",
+        "log_dedup_exclude": f"{_T}, {_PARSED_CTE} "
+        "SELECT role, level, count(*) AS log_count, "
+        "min(ts) AS first_observed_ts, max(ts) AS last_observed_ts "
+        "FROM parsed GROUP BY role, level",
         "syslog_rfc5424": f"{_T}, "
         f"lines AS (SELECT conv_id, turn_idx, {_SYSLOG_LINE} AS text FROM transcripts) "
         f"SELECT conv_id, turn_idx, regexp_matches(text, '{_RFC5424_SQL}') AS parse_ok, "

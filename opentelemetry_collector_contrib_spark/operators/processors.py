@@ -131,6 +131,21 @@ def enrich_lookup(
     return joined
 
 
+def resource_detect(df: DataFrame, detectors: dict[str, str]) -> DataFrame:
+    """resourcedetectionprocessor (processor/resourcedetectionprocessor/):
+    environment metadata detected ONCE at startup and stamped onto every
+    record. Driver-side values -> literal columns (zero per-row cost;
+    constant-folded by Catalyst). Existing non-null values win, matching
+    the processor's default override=false."""
+    out = df
+    for k, v in detectors.items():
+        if k in out.columns:
+            out = out.withColumn(k, F.coalesce(F.col(k), F.lit(v)))
+        else:
+            out = out.withColumn(k, F.lit(v))
+    return out
+
+
 def filter_logs(df: DataFrame, *conditions: Column) -> DataFrame:
     """filterprocessor (processor/filterprocessor/logs.go:68-99): DROP rows
     matching ANY condition (conditions are OR'd)."""
