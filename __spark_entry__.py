@@ -539,7 +539,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docsrc.documents_df(spark, sf_dir)
-    sh = dd.shingles(docs, w=SHINGLE_W)
+    # distinct=False: minhash's per-permutation MIN is duplicate-
+    # insensitive, so the dedup shuffle is skipped
+    sh = dd.shingles(docs, w=SHINGLE_W, distinct=False)
     sigs = dd.minhash_signatures(sh, k=MINHASH_K)
     return dd.lsh_pairs(sigs, k=MINHASH_K, bands=LSH_BANDS)
 

@@ -58,22 +58,34 @@ def exact_dedup(df: DataFrame, *, col: str = "text", id_col: str = "doc_id") -> 
 
 
 def shingles(
-    df: DataFrame, *, col: str = "text", id_col: str = "doc_id", w: int = 3
+    df: DataFrame,
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """One row per (id, distinct word w-gram shingle). The explode is the
-    only width increase in the dedup family; distinct is a map-side
-    partial agg before the shuffle."""
+    """One row per (id, word w-gram shingle). The explode is the only
+    width increase in the dedup family.
+
+    ``distinct=True`` (needed for exact Jaccard set semantics) costs one
+    shuffle with map-side partial agg. Minhash callers pass False: the
+    per-permutation MIN is idempotent over duplicate shingles, so the
+    dedup shuffle would be pure waste. The tokenizer runs ONCE per row
+    (two-step select), not once per reference inside the lambda."""
+    toks = df.select(
+        id_col,
+        F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)").alias("_t"),
+    )
     sh = (
-        f"transform(sequence(1, greatest(size(regexp_extract_all(lower({col}), "
-        f"'{TOKEN_RE}', 0)) - {w - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(regexp_extract_all(lower({col}), "
-        f"'{TOKEN_RE}', 0), i, {w})))"
+        f"transform(sequence(1, greatest(size(_t) - {w - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(_t, i, {w})))"
     )
-    return (
-        df.select(id_col, F.explode(F.expr(sh)).alias("shingle"))
+    out = (
+        toks.select(id_col, F.explode(F.expr(sh)).alias("shingle"))
         .filter(F.col("shingle") != "")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
