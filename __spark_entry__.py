@@ -561,6 +561,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_bruteforce_topk(emb, queries_df, k=ANN_K)
 
 
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked, global top-20."""
+    emb = docsrc.embeddings_df(spark, sf_dir)
+    return sim.near_dup_pairs(emb, planes=ANN_PLANES, topk=20)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = docsrc.embeddings_df(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)
@@ -645,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_token_stats": q_text_token_stats,
@@ -1021,6 +1028,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM common_t JOIN sizes sa ON sa.doc_id = doc_a "
             "JOIN sizes sb ON sb.doc_id = doc_b "
             "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"
+        ),
+        "dedup_embedding_pairs": (
+            "WITH bk AS (SELECT vec_id, embedding, "
+            + _BUCKET_BITS.format(v="embedding")
+            + " AS b FROM embeddings) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+            "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim "
+            "FROM bk a JOIN bk b ON a.b = b.b AND a.vec_id < b.vec_id "
+            "ORDER BY sim DESC, vec_a, vec_b LIMIT 20"
         ),
         "ann_cosine_topk": _ANN_TOPK_SQL.format(extra=""),
         "ann_lsh_topk": _ANN_TOPK_SQL.format(

@@ -22,7 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["cosine", "ann_bruteforce_topk", "lsh_bucket", "ann_lsh_topk"]
+__all__ = [
+    "cosine",
+    "ann_bruteforce_topk",
+    "lsh_bucket",
+    "ann_lsh_topk",
+    "near_dup_pairs",
+]
 
 
 def _dot(a: str, b: str) -> Column:
@@ -103,6 +109,37 @@ def lsh_bucket(vec_col: str = "embedding", *, planes: int = 8) -> Column:
         for p in range(planes)
     ]
     return F.concat(*bits)
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    topk: int = 20,
+    min_sim: float | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: candidates
+    share a bucket (equi-join, ~O(n) shuffle instead of the O(n^2) cross
+    join), exact cosine inside the bucket, global top-k by similarity
+    with deterministic id tie-break (TakeOrdered — no global sort)."""
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes=planes).alias("b")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.b") == F.col("b.b")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        cosine(f"a.{vec_col}", f"b.{vec_col}").alias("sim"),
+    )
+    if min_sim is not None:
+        pairs = pairs.filter(F.col("sim") >= min_sim)
+    return pairs.orderBy(F.desc("sim"), "vec_a", "vec_b").limit(topk)
 
 
 def ann_lsh_topk(

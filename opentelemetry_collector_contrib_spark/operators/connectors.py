@@ -125,13 +125,29 @@ def write_routed(
     base_path: str,
     *,
     fmt: str = "parquet",
+    files_per_sink: int | None = None,
+    salt_col: str = "conv_id",
 ) -> dict[str, str]:
     """Exporter stage: one partitioned write fans rows out to per-sink
     tables (fileexporter group_by semantics,
     exporter/fileexporter/grouping_file_exporter.go:116-152). A single
     job, partitioned by ``sink`` — the shuffle-free analog of N filtered
-    writes."""
+    writes.
+
+    ``files_per_sink`` bounds output file count (the batchperresourceattr
+    re-batching analog, pkg/batchperresourceattr): without it, every
+    write task emits one file per sink it touches (tasks × sinks files at
+    scale). A deterministic salt ``hash(salt_col) % files_per_sink``
+    shuffles each sink's rows into exactly that many partitions — one
+    file each — while avoiding the single-hot-partition skew that a bare
+    ``repartition("sink")`` would create for the catchall sink."""
     routed = routed_union(tagged, sink_map)
+    if files_per_sink is not None:
+        salt = F.pmod(F.hash(F.col(salt_col)), F.lit(files_per_sink))
+        n_sinks = len({s for v in sink_map.values() for s in v})
+        routed = routed.repartition(
+            files_per_sink * n_sinks, F.col("sink"), salt
+        )
     path = f"{base_path.rstrip('/')}/routed"
     routed.write.mode("overwrite").partitionBy("sink").format(fmt).save(path)
     sinks = sorted({s for v in sink_map.values() for s in v})

@@ -285,7 +285,28 @@ CONVERTERS: dict[str, callable] = {
     "Trim": lambda x: F.trim(x),
     "ToUpperCase": lambda x: F.upper(x),
     "ToLowerCase": lambda x: F.lower(x),
+    "ToSnakeCase": lambda x: F.lower(
+        F.regexp_replace(
+            F.regexp_replace(x, r"([a-z0-9])([A-Z])", r"$1_$2"), r"[\s-]+", "_"
+        )
+    ),
+    "ToCamelCase": lambda x: F.concat_ws(
+        "",
+        F.transform(
+            F.split(x, "[_ -]+"),
+            lambda w: F.concat(
+                F.upper(w.substr(F.lit(1), F.lit(1))),
+                w.substr(F.lit(2), F.length(w)),
+            ),
+        ),
+    ),
     "Len": lambda x: F.length(x),
+    "Format": lambda fmt, vals: F.format_string(fmt._lit, *vals),
+    "Base64Decode": lambda x: F.unbase64(x).cast("string"),
+    "Decode": lambda x, enc: F.unbase64(x).cast("string"),
+    "Hex": lambda x: F.hex(x),
+    # collection
+    "Sort": lambda x: F.array_sort(x),
     "IsMatch": lambda x, pat: x.rlike(pat._lit),
     "ExtractPatterns": lambda x, pat: _extract_patterns(x, pat._lit),
     # math / type

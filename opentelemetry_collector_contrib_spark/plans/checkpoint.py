@@ -24,12 +24,26 @@ def stage_done(base: str, stage: str) -> bool:
     return os.path.exists(os.path.join(base, stage, MARKER))
 
 
-def write_stage(df: DataFrame, base: str, stage: str, *, partition_by: list[str] | None = None) -> str:
+def write_stage(
+    df: DataFrame,
+    base: str,
+    stage: str,
+    *,
+    partition_by: list[str] | None = None,
+    with_lineage: bool = False,
+    error_col: str | None = None,
+) -> str:
     path = os.path.join(base, stage)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    if with_lineage:
+        from .lineage import partition_metrics
+
+        partition_metrics(df, stage, error_col=error_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"{stage}._lineage"))
     with open(os.path.join(path, MARKER), "w") as f:
         json.dump({"stage": stage, "completed_at": time.time()}, f)
     return path
