@@ -90,11 +90,19 @@ def worker(cpus: int, input_dir: str) -> None:
     from opentelemetry_collector_contrib_spark.sources import transcripts as src
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    parse_mode = os.environ.get("SPARK_GRAFT_SCALE_PARSE", "native")
     turns = spark.read.parquet(input_dir)
     n_rows = turns.count()
 
     def build_routed():
-        parsed = parsers.regex_parse(turns, PARSE_PATTERN, PARSE_GROUPS)
+        if parse_mode == "arrow":
+            from opentelemetry_collector_contrib_spark.schema import (
+                PARSE_PATTERN_NAMED,
+            )
+
+            parsed = parsers.regex_parse_arrow(turns, PARSE_PATTERN_NAMED)
+        else:
+            parsed = parsers.regex_parse(turns, PARSE_PATTERN, PARSE_GROUPS)
         parsed = parsers.key_value_parse(parsed, parse_from="msg", out="kv")
         parsed = parsers.severity_parse(parsed, parse_from="level")
         enriched = processors.enrich_lookup(
@@ -132,7 +140,8 @@ def worker(cpus: int, input_dir: str) -> None:
     }
     print(json.dumps({
         "cpus": cpus, "rows": n_rows, "sec": round(best, 3),
-        "turns_per_sec": round(n_rows / best), "sinks": sinks,
+        "turns_per_sec": round(n_rows / best), "parse_mode": parse_mode,
+        "sinks": sinks,
     }))
     spark.stop()
 
@@ -196,7 +205,12 @@ def main() -> None:
         "scaling_efficiency": best["scaling_efficiency"],
         "sink_counts_equal": True,
     }
-    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+    suffix = (
+        "_arrow" if os.environ.get("SPARK_GRAFT_SCALE_PARSE") == "arrow" else ""
+    )
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling_result{suffix}.json"), "w"
+    ) as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({"metric": "scaling_efficiency",
                       "value": best["scaling_efficiency"],

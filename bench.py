@@ -37,6 +37,8 @@ def make_spark(cpus: int, app: str = "otelcol-spark-bench") -> SparkSession:
 HEADLINE = [
     "parse_regex",
     "parse_regex_arrow",
+    "grok_parse",
+    "syslog_rfc5424",
     "enrich_broadcast",
     "route_per_sink_counts",
     "routed_rows",
@@ -44,7 +46,10 @@ HEADLINE = [
     "sum_items_by_team",
     "log_dedup",
     "recombine",
+    "conv_text_digest",
+    "ottl_transform",
     "dedup_minhash_lsh",
+    "dedup_embedding_pairs",
     "ann_cosine_topk",
     "text_quality",
 ]

@@ -327,6 +327,13 @@ CONVERTERS: dict[str, callable] = {
     "Day": lambda x: F.dayofmonth(x),
     "Month": lambda x: F.month(x),
     "Year": lambda x: F.year(x),
+    # parse (converter forms; full parser stages live in operators/parsers.py)
+    "ParseJSON": lambda x: F.from_json(x, "map<string,string>"),
+    "ParseKeyValue": lambda x, pd=None, kd=None: F.str_to_map(
+        x,
+        F.lit(pd._lit if pd is not None else " "),
+        F.lit(kd._lit if kd is not None else "="),
+    ),
     # hash / id
     "MD5": lambda x: F.md5(x.cast("string")),
     "SHA1": lambda x: F.sha1(x.cast("string")),
@@ -435,6 +442,35 @@ def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
         target, pattern, repl = ed.args[:3]
         name = target.column_name()
         return gated(name, F.regexp_replace(F.col(name), pattern.value, repl.value))
+    if ed.name in ("replace_match", "replace_all_matches"):
+        # glob match -> whole-value replacement (func_replace_match.go)
+        target, glob_pat, repl = ed.args[:3]
+        name = target.column_name()
+        like = glob_pat.value.replace("%", r"\%").replace("*", "%").replace("?", "_")
+        new = F.when(F.col(name).like(like), F.lit(repl.value)).otherwise(F.col(name))
+        return gated(name, new)
+    if ed.name == "merge_maps":
+        # merge_maps(target, source, mode) (func_merge_maps.go:16-47)
+        target, source, mode = ed.args
+        name = target.column_name()
+        t, s = F.col(name), _compile(source, ctx)
+        m = mode.value
+        if m == "upsert":
+            new = F.map_concat(
+                F.map_filter(t, lambda k, _: ~F.array_contains(F.map_keys(s), k)), s
+            )
+        elif m == "insert":
+            new = F.map_concat(
+                t, F.map_filter(s, lambda k, _: ~F.array_contains(F.map_keys(t), k))
+            )
+        elif m == "update":
+            new = F.map_concat(
+                F.map_filter(t, lambda k, _: ~F.array_contains(F.map_keys(s), k)),
+                F.map_filter(s, lambda k, _: F.array_contains(F.map_keys(t), k)),
+            )
+        else:
+            raise ValueError(f"merge_maps mode {m!r}")
+        return gated(name, new)
     if ed.name == "truncate_all":
         target, n = ed.args
         name = target.column_name()
@@ -458,7 +494,8 @@ def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
 
 _EDITORS = {
     "set", "delete_key", "keep_keys", "replace_pattern",
-    "replace_all_patterns", "truncate_all", "limit", "append",
+    "replace_all_patterns", "replace_match", "replace_all_matches",
+    "merge_maps", "truncate_all", "limit", "append",
 }
 
 

@@ -103,6 +103,18 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TRANSCRIPTS_SQL)
 
 
+def with_file_attrs(df: DataFrame) -> DataFrame:
+    """Attach the source-file resource attributes the filelog receiver
+    adds (`log.file.name`/`log.file.path`,
+    pkg/stanza/fileconsumer/attrs/attrs.go:14-17,37-70) from the file
+    source's metadata column — zero-cost, no extra scan."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("log_file_path", F.col("_metadata.file_path")).withColumn(
+        "log_file_name", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    )
+
+
 def conv_dim_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_base_views(spark, sf_dir)
     return spark.sql(CONV_DIM_SQL)

@@ -138,3 +138,34 @@ def test_unknown_converter_raises():
 def test_parse_error_raises():
     with pytest.raises(ValueError):
         ottl.compile_statement("set(x, 'unterminated")
+
+
+def test_merge_maps_modes(df):
+    base = ["set(src, ParseKeyValue('a=9 c=7'))"]
+    for mode, expect in [
+        ("upsert", {"a": "9", "b": None, "c": "7"}),
+        ("insert", {"a": "1", "b": None, "c": "7"}),
+        ("update", {"a": "9", "b": None, "c": None}),
+    ]:
+        out = ottl.apply_statements(
+            df, base + [f"merge_maps(attrs, src, '{mode}')"]
+        )
+        got = rows(out)[0]["attrs"]  # id=1 row: attrs={a:1,b:xx}
+        assert got.get("a") == expect["a"], (mode, got)
+        assert ("c" in got) == (expect["c"] is not None), (mode, got)
+        assert got.get("b") == ("xx" if "b" in got else None)
+
+
+def test_replace_match_glob(df):
+    out = ottl.apply_statements(
+        df, ["replace_match(role, 'sys*', 'SYSTEM')"]
+    )
+    got = {r["id"]: r["role"] for r in rows(out)}
+    assert got == {1: "user", 2: "assistant", 3: "SYSTEM"}
+
+
+def test_parse_json_converter(df):
+    out = ottl.apply_statements(
+        df, ["set(j, ParseJSON('{\"x\": \"1\", \"y\": \"two\"}'))"]
+    )
+    assert rows(out)[0]["j"] == {"x": "1", "y": "two"}
