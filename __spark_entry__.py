@@ -561,6 +561,77 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_bruteforce_topk(emb, queries_df, k=ANN_K)
 
 
+CORPUS_MIN_QUALITY = 0.5
+CORPUS_KEEP_LANG = "en"
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-corpus prep: quality gate -> language gate ->
+    exact dedup -> minhash-LSH near-dup removal."""
+    from opentelemetry_collector_contrib_spark.functions import corpus
+
+    docs = docsrc.documents_df(spark, sf_dir)
+    return corpus.clean_corpus(
+        docs,
+        min_quality=CORPUS_MIN_QUALITY,
+        keep_lang=CORPUS_KEEP_LANG,
+        shingle_w=SHINGLE_W,
+        minhash_k=MINHASH_K,
+        lsh_bands=LSH_BANDS,
+    )
+
+
+def _corpus_oracle_sql() -> str:
+    quality = _QUALITY_EXPRS.format(h_en=_HITS["en"].replace("(t,", "(tk.t,"))
+    hits_cols = ", ".join(f"{_HITS[l]} AS h_{l}" for l in tx.STOPWORDS)
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(MINHASH_K)
+    )
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({_PIPE_SEP.join(f'sig_{b * _R + j}' for j in range(_R))}) AS bh "
+        "FROM sig2"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+{quality.strip().rstrip()},
+quality_q AS (SELECT doc_id,
+  0.25*length_ok + 0.25*alpha_ratio + 0.25*stop_sig + 0.25*word_len_ok AS quality
+  FROM comp),
+hits AS (SELECT d.doc_id, {hits_cols}
+         FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id),
+langed AS (SELECT doc_id, {_LANG_CASE} AS pred_lang FROM hits),
+gated AS (SELECT d.doc_id, d.lang, d.n_chars, d.text, q.quality
+          FROM documents d
+          JOIN quality_q q ON d.doc_id = q.doc_id
+          JOIN langed l ON d.doc_id = l.doc_id
+          WHERE q.quality >= {CORPUS_MIN_QUALITY}
+            AND l.pred_lang = '{CORPUS_KEEP_LANG}'),
+hashed AS (SELECT *, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+           FROM gated),
+keepx AS (SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h),
+exact AS (SELECT hashed.* FROM hashed JOIN keepx USING (h, doc_id)),
+toks2 AS (SELECT e.doc_id, regexp_extract_all(lower(e.text), '[a-z0-9]+') AS t
+          FROM exact e),
+sh2 AS (SELECT doc_id, shingle FROM (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(t) - {SHINGLE_W - 1}, 1)),
+            i -> array_to_string(t[i:i+{SHINGLE_W - 1}], ' '))) AS shingle
+          FROM toks2) WHERE shingle <> ''),
+sig2 AS (SELECT doc_id, {sig_cols} FROM sh2 GROUP BY doc_id),
+banded2 AS ({banded}),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded2 a JOIN banded2 b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+drops AS (SELECT DISTINCT doc_b FROM pairs)
+SELECT e.doc_id, e.lang, e.n_chars, e.quality
+FROM exact e LEFT JOIN drops p ON e.doc_id = p.doc_b
+WHERE p.doc_b IS NULL
+"""
+
+
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked, global top-20."""
     emb = docsrc.embeddings_df(spark, sf_dir)
@@ -652,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "corpus_clean": q_corpus_clean,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_token_stats": q_text_token_stats,
@@ -1029,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON sb.doc_id = doc_b "
             "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"
         ),
+        "corpus_clean": _corpus_oracle_sql(),
         "dedup_embedding_pairs": (
             "WITH bk AS (SELECT vec_id, embedding, "
             + _BUCKET_BITS.format(v="embedding")

@@ -1,0 +1,60 @@
+"""End-to-end training-corpus preparation: the composition a data
+pipeline actually runs, as one declarative plan.
+
+    raw documents
+      → quality gate        (functions.text.quality_score >= min_quality)
+      → language gate       (functions.text.lang_id == keep_lang)
+      → exact dedup         (keep min doc_id per normalized-text hash)
+      → near-dup removal    (minhash+LSH candidate pairs; drop the
+                             higher doc_id of each pair — the standard
+                             keep-first policy, applied transitively by
+                             repeated pair-drop since pairs are closed
+                             under the LSH relation on the kept side)
+      → clean corpus
+
+Everything is column expressions + two hash aggregations + one
+anti-join; at 100 TB the quality/language gates prune before any
+shuffle (predicate evaluation is narrow), the dedup shuffles carry only
+(hash, id) pairs, and the LSH band join is the same bounded candidate
+join as functions.dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import dedup as dd
+from . import text as tx
+
+__all__ = ["clean_corpus"]
+
+
+def clean_corpus(
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.5,
+    keep_lang: str = "en",
+    shingle_w: int = 3,
+    minhash_k: int = 12,
+    lsh_bands: int = 4,
+) -> DataFrame:
+    """Return the cleaned corpus (doc_id, lang, n_chars, quality)."""
+    scored = tx.quality_score(tx.lang_id(docs))
+    gated = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("pred_lang") == keep_lang)
+    )
+
+    # exact dedup: keep the minimum doc_id per normalized content hash
+    h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    hashed = gated.withColumn("_h", h)
+    keep_exact = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    exact = hashed.join(keep_exact, ["_h", "doc_id"]).drop("_h")
+
+    # near-dup removal: drop the higher id of every LSH candidate pair
+    sh = dd.shingles(exact, w=shingle_w, distinct=False)
+    sigs = dd.minhash_signatures(sh, k=minhash_k)
+    pairs = dd.lsh_pairs(sigs, k=minhash_k, bands=lsh_bands)
+    drop_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    clean = exact.join(drop_ids, "doc_id", "left_anti")
+
+    return clean.select("doc_id", "lang", "n_chars", F.col("quality"))

@@ -1,0 +1,61 @@
+"""Property-based tests (hypothesis) for the pure-Python compile layers —
+no SparkSession needed, so these run in milliseconds and explore corners
+the example-based suites don't."""
+
+from __future__ import annotations
+
+import re
+import sys
+
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from opentelemetry_collector_contrib_spark.operators import grok, ottl  # noqa: E402
+
+IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+SAFE_STR = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127),
+    max_size=20,
+)
+
+
+@given(name=IDENT, value=SAFE_STR)
+@settings(max_examples=50, deadline=None)
+def test_ottl_set_statement_always_parses(name, value):
+    st_ = ottl.compile_statement(f"set({name}, '{value}')")
+    assert st_.editor.name == "set"
+    assert st_.where is None
+
+
+@given(field=IDENT, key=SAFE_STR)
+@settings(max_examples=50, deadline=None)
+def test_ottl_bracket_paths_roundtrip(field, key):
+    stmt = ottl.compile_statement(f'set(attributes["{key or "k"}"], {field})')
+    target = stmt.editor.args[0]
+    assert target.parts[-1] == (key or "k")
+
+
+@given(n=st.integers(min_value=-999999, max_value=999999))
+@settings(max_examples=50, deadline=None)
+def test_ottl_integer_literals(n):
+    stmt = ottl.compile_statement(f"set(x, {n})")
+    assert stmt.editor.args[1].value == n
+
+
+@given(parts=st.lists(st.sampled_from(sorted(grok.GROK_PATTERNS)), min_size=1, max_size=4))
+@settings(max_examples=50, deadline=None)
+def test_grok_expansion_always_compiles(parts):
+    pattern = " ".join(f"%{{{p}:f{i}}}" for i, p in enumerate(parts))
+    rx = grok.grok_to_regex(pattern)
+    compiled = re.compile(rx)  # every expansion is a valid Python regex
+    assert set(compiled.groupindex) == {f"f{i}" for i in range(len(parts))}
+
+
+@given(
+    text=st.text(alphabet="ab% {}:", max_size=30).filter(lambda s: "%{" not in s)
+)
+@settings(max_examples=50, deadline=None)
+def test_grok_literal_text_passthrough(text):
+    # text with no %{...} references expands to itself
+    assert grok.grok_to_regex(text) == text
