@@ -484,6 +484,16 @@ def q_conv_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordering.conv_text_digest(turns)
 
 
+def q_conv_text_digest_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (block-parallel) digest — the hot-conversation-proof
+    form of the per-turn-equality invariant. block=8 so sf0.001 convs
+    span several blocks."""
+    from opentelemetry_collector_contrib_spark.plans import ordering
+
+    turns = src.transcripts_df(spark, sf_dir)
+    return ordering.conv_text_digest_hier(turns, block=8)
+
+
 def q_salted_count_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation == plain groupBy (skew hardening)."""
     from opentelemetry_collector_contrib_spark.plans import ordering
@@ -697,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redaction": q_redaction,
         "ottl_transform": q_ottl_transform,
         "conv_text_digest": q_conv_text_digest,
+        "conv_text_digest_hier": q_conv_text_digest_hier,
         "salted_count_by_role": q_salted_count_by_role,
         "jsonarray_parse": q_jsonarray_parse,
         "flatten_retain": q_flatten_retain,
@@ -1065,6 +1076,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, count(*) AS n_turns, "
         "md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS digest "
         "FROM transcripts GROUP BY conv_id",
+        "conv_text_digest_hier": f"{_T}, "
+        "sub AS (SELECT conv_id, cast(floor(turn_idx / 8) AS bigint) AS blk, "
+        "md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS subd, count(*) AS n "
+        "FROM transcripts GROUP BY 1, 2) "
+        "SELECT conv_id, sum(n) AS n_turns, "
+        "md5(string_agg(subd, chr(10) ORDER BY blk)) AS digest "
+        "FROM sub GROUP BY conv_id",
         "salted_count_by_role": f"{_T} "
         "SELECT role, count(*) AS n FROM transcripts GROUP BY role",
         "ottl_transform": f"{_T} "

@@ -25,6 +25,8 @@ __all__ = [
     "with_salt",
     "salted_count",
     "conv_text_digest",
+    "conv_text_digest_hier",
+    "salted_conv_text_digest",
 ]
 
 
@@ -116,4 +118,108 @@ def conv_text_digest(
                 "\n", F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["t"])
             )
         ).alias("digest"),
+    )
+
+
+def conv_text_digest_hier(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    block: int = 4096,
+) -> DataFrame:
+    """Hierarchical per-conversation digest: md5 over ordered BLOCK
+    digests (each block = `block` consecutive turns, digested in
+    parallel). The value differs from :func:`conv_text_digest` (it's a
+    digest-of-digests) but carries the same invariant — any change to
+    any turn's text or order changes it — while removing the hot-conv
+    bottleneck: BENCH/skew.py measures the flat digest spending ~10 s
+    single-task on a 3M-turn conversation because the final
+    sort+concat+md5 of one conversation is inherently one task (salting
+    the collect phase doesn't help — the phase-2 merge re-sorts
+    everything; measured 0.9x). Here phase 1 digests blocks across the
+    cluster and phase 2 concatenates ~n/block tiny strings."""
+    bucket = F.floor(F.col(order_col) / block).alias("_blk")
+    pair = F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t"))
+    sub = (
+        df.groupBy(F.col(conv_col), bucket)
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["t"]),
+                )
+            ).alias("_sub"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    spair = F.struct(F.col("_blk").alias("b"), F.col("_sub").alias("d"))
+    return sub.groupBy(conv_col).agg(
+        F.sum("_n").alias("n_turns"),
+        F.md5(
+            F.concat_ws(
+                "\n", F.transform(F.array_sort(F.collect_list(spair)), lambda x: x["d"])
+            )
+        ).alias("digest"),
+    )
+
+
+def salted_conv_text_digest(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    n_salt: int = 16,
+    hot_keys: list[str] | None = None,
+) -> DataFrame:
+    """Skew-hardened :func:`conv_text_digest`: identical output, two-phase.
+
+    A hot conversation sends ALL its rows to one reducer in the plain
+    digest (collect_list has no useful map-side combine for a single hot
+    key). Here phase 1 groups by (conv, salt(turn_idx)) — the hot conv
+    fans across n_salt reducers, each collecting a partial (order, text)
+    array — and phase 2 merges the ≤n_salt partial arrays per conv
+    (flatten → array_sort → concat). Merging sorted-pair ARRAYS is
+    associative, which is what makes an order-sensitive aggregation
+    saltable at all; the final shuffle carries n_salt rows per conv, not
+    every turn.
+
+    ``hot_keys``: salting every key makes the LONG TAIL pay a second
+    shuffle for nothing (measured 0.75x on a 50%-hot dataset —
+    BENCH/skew.py). Production shape: pass the known/detected heavy
+    hitters; only they take the two-phase path, the tail aggregates
+    plain, results union. With ``hot_keys=None`` everything is salted
+    (correct, rarely optimal)."""
+    if hot_keys is not None:
+        hot_lits = F.array(*[F.lit(k) for k in hot_keys])
+        is_hot = F.array_contains(hot_lits, F.col(conv_col))
+        hot_part = salted_conv_text_digest(
+            df.filter(is_hot),
+            conv_col=conv_col,
+            order_col=order_col,
+            text_col=text_col,
+            n_salt=n_salt,
+        )
+        cold_part = conv_text_digest(
+            df.filter(~is_hot),
+            conv_col=conv_col,
+            order_col=order_col,
+            text_col=text_col,
+        )
+        return cold_part.unionAll(hot_part)
+    salt = F.pmod(F.hash(F.col(order_col)), F.lit(n_salt))
+    pair = F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t"))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(conv_col, "_salt")
+        .agg(F.collect_list(pair).alias("_pairs"), F.count(F.lit(1)).alias("_n"))
+    )
+    merged = F.array_sort(F.flatten(F.collect_list("_pairs")))
+    return partial.groupBy(conv_col).agg(
+        F.sum("_n").alias("n_turns"),
+        F.md5(F.concat_ws("\n", F.transform(merged, lambda x: x["t"]))).alias(
+            "digest"
+        ),
     )

@@ -77,3 +77,32 @@ def test_bucketed_join_has_no_exchange_on_bucketed_side(spark, turns, tmp_path):
     # groupBy on the bucket key must not reshuffle the bucketed table
     assert "Exchange hashpartitioning(conv_id" not in plan
     spark.sql("DROP TABLE IF EXISTS turns_bucketed")
+
+
+def test_hier_digest_same_invariant_and_partition_proof(turns):
+    from pyspark.sql import functions as F
+
+    base = {r["conv_id"]: (r["n_turns"], r["digest"])
+            for r in ordering.conv_text_digest_hier(turns, block=8).collect()}
+    scrambled = turns.repartition(13, "tool").sortWithinPartitions(F.desc("ts"))
+    got = {r["conv_id"]: (r["n_turns"], r["digest"])
+           for r in ordering.conv_text_digest_hier(scrambled, block=8).collect()}
+    assert got == base
+    # sensitivity: editing one turn's text changes that conv's digest
+    edited = turns.withColumn(
+        "text",
+        F.when((F.col("turn_idx") == 0), F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    changed = {r["conv_id"]: r["digest"]
+               for r in ordering.conv_text_digest_hier(edited, block=8).collect()}
+    assert all(changed[c] != base[c][1] for c in changed)
+
+
+def test_salted_digest_equals_plain(turns):
+    plain = {r["conv_id"]: (r["n_turns"], r["digest"])
+             for r in ordering.conv_text_digest(turns).collect()}
+    for kwargs in ({}, {"hot_keys": ["conv-00000001", "nope"]}):
+        salted = {r["conv_id"]: (r["n_turns"], r["digest"])
+                  for r in ordering.salted_conv_text_digest(turns, n_salt=4, **kwargs).collect()}
+        assert salted == plain
