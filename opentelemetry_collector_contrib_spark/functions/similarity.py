@@ -77,19 +77,35 @@ def ann_bruteforce_topk(
         .withColumn("sim", cosine(vec_col, "q_vec"))
         .select("q_id", id_col, "sim")
     )
-    # per-query top-k: collect (sim desc, id asc)-sorted struct array via
-    # partial-agg friendly aggregation, then slice k. Deterministic.
+    return _topk_per_query(scored, id_col=id_col, k=k)
+
+
+def _topk_per_query(scored: DataFrame, *, id_col: str, k: int) -> DataFrame:
+    """Bounded two-stage top-k per query: stage 1 keeps k per (query,
+    input partition) — memory O(k), computed where the scores live;
+    stage 2 merges the ≤k-sized arrays (shuffle carries k×partitions
+    rows per query, NOT the full candidate set — a single-stage
+    collect_list would funnel every scored row of a query through one
+    reducer, which cannot work when the corpus is the 100 TB side).
+    Deterministic: ties break on id (desc, matching the sort)."""
     pair = F.struct(F.col("sim").alias("s"), F.col(id_col).alias("i"))
-    agg = scored.groupBy("q_id").agg(
-        F.slice(F.reverse(F.array_sort(F.collect_list(pair))), 1, k).alias("top")
+    partial = (
+        scored.groupBy("q_id", F.spark_partition_id().alias("_p"))
+        .agg(
+            F.slice(F.reverse(F.array_sort(F.collect_list(pair))), 1, k).alias("pt")
+        )
     )
-    out = agg.select("q_id", F.posexplode("top").alias("rank0", "t")).select(
+    agg = partial.groupBy("q_id").agg(
+        F.slice(
+            F.reverse(F.array_sort(F.flatten(F.collect_list("pt")))), 1, k
+        ).alias("top")
+    )
+    return agg.select("q_id", F.posexplode("top").alias("rank0", "t")).select(
         "q_id",
         (F.col("rank0") + 1).alias("rank"),
         F.col("t.i").alias(id_col),
         F.col("t.s").alias("sim"),
     )
-    return out
 
 
 def lsh_bucket(vec_col: str = "embedding", *, planes: int = 8) -> Column:
@@ -165,13 +181,4 @@ def ann_lsh_topk(
         .withColumn("sim", cosine(vec_col, "q_vec"))
         .select("q_id", id_col, "sim")
     )
-    pair = F.struct(F.col("sim").alias("s"), F.col(id_col).alias("i"))
-    agg = scored.groupBy("q_id").agg(
-        F.slice(F.reverse(F.array_sort(F.collect_list(pair))), 1, k).alias("top")
-    )
-    return agg.select("q_id", F.posexplode("top").alias("rank0", "t")).select(
-        "q_id",
-        (F.col("rank0") + 1).alias("rank"),
-        F.col("t.i").alias(id_col),
-        F.col("t.s").alias("sim"),
-    )
+    return _topk_per_query(scored, id_col=id_col, k=k)

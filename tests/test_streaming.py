@@ -139,3 +139,46 @@ def test_recombine_stream_matches_batch(spark, sf_dir, turns, tmp_path):
         if (t + n - 1) % 5 == 4  # block ends on an is_last row
     }
     assert complete <= got_keys
+
+
+def test_log_dedup_stream_matches_batch_totals(spark, sf_dir, turns, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    turns.write.parquet(inp)
+    stream = spipe.read_transcript_stream(spark, inp)
+    dedup = spipe.log_dedup_stream(
+        stream, ["role", "tool"], ts_col="ts", interval="1 hour", watermark="2 hours"
+    )
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.read.parquet(out)
+    # append mode emits only windows the watermark has closed: windows
+    # ending within `watermark` of the max event time stay open — the
+    # reference has no watermark at all (SURVEY §2.8), this is the
+    # late-data bound Spark adds. Expected = rows in closed windows.
+    max_ts = turns.agg(F.max("ts")).first()[0]
+    closed = turns.filter(
+        F.window("ts", "1 hour").end <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    )
+    assert got.agg(F.sum("log_count")).first()[0] == closed.count()
+    assert closed.count() > 0
+    # each (window, role, tool) appears once
+    assert (
+        got.groupBy("flush_window", "role", "tool").count().filter("count > 1").count()
+        == 0
+    )
+
+
+def test_with_file_attrs(spark, turns, tmp_path):
+    p = str(tmp_path / "files")
+    turns.write.parquet(p)
+    df = src.with_file_attrs(spark.read.parquet(p))
+    r = df.select("log_file_path", "log_file_name").first()
+    assert r["log_file_path"].endswith(".parquet")
+    assert "/" not in r["log_file_name"] and r["log_file_name"].endswith(".parquet")
