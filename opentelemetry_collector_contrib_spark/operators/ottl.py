@@ -334,12 +334,43 @@ CONVERTERS: dict[str, callable] = {
         F.lit(pd._lit if pd is not None else " "),
         F.lit(kd._lit if kd is not None else "="),
     ),
+    # URL decomposition (ottlfuncs URL converter) — map of parts
+    "URL": lambda x: F.create_map(
+        F.lit("url.scheme"), F.parse_url(x, F.lit("PROTOCOL")),
+        F.lit("url.domain"), F.parse_url(x, F.lit("HOST")),
+        F.lit("url.path"), F.parse_url(x, F.lit("PATH")),
+        F.lit("url.query"), F.parse_url(x, F.lit("QUERY")),
+    ),
+    # UserAgent converter — regex heuristic standing in for the
+    # reference's ua-parser dependency (documented approximation)
+    "UserAgent": lambda x: F.create_map(
+        F.lit("user_agent.name"),
+        F.coalesce(F.regexp_extract(x, r"(Firefox|Chrome|Safari|curl|wget)", 1),
+                   F.lit("Other")),
+        F.lit("user_agent.version"),
+        F.regexp_extract(x, r"(?:Firefox|Chrome|curl|wget)[/ ]([\d.]+)", 1),
+        F.lit("os.name"),
+        F.coalesce(
+            F.regexp_extract(x, r"(Windows|Mac OS X|Android|iPhone OS|Linux)", 1),
+            F.lit("Other"),
+        ),
+    ),
     # hash / id
     "MD5": lambda x: F.md5(x.cast("string")),
     "SHA1": lambda x: F.sha1(x.cast("string")),
     "SHA256": lambda x: F.sha2(x.cast("string"), 256),
     "Murmur3Hash": lambda x: F.hash(x).cast("string"),  # 32-bit murmur3 (Spark-native)
     "UUID": lambda: F.expr("uuid()"),
+}
+
+
+_TYPE_PREDICATES = {
+    "IsString": lambda dt: dt == "string",
+    "IsBool": lambda dt: dt == "boolean",
+    "IsInt": lambda dt: dt in ("int", "bigint", "smallint", "tinyint"),
+    "IsDouble": lambda dt: dt in ("double", "float"),
+    "IsMap": lambda dt: dt.startswith("map"),
+    "IsList": lambda dt: dt.startswith("array"),
 }
 
 
@@ -393,6 +424,19 @@ def _compile(node, ctx: _Ctx) -> Column:
             return _compile(node.args[0], ctx).try_cast(
                 "long" if node.name == "Int" else "double"
             )
+        if node.name in _TYPE_PREDICATES:
+            # OTTL type predicates check the VALUE type per record; in a
+            # typed columnar model a column's type is static, so these
+            # resolve to a literal at compile time (null-ness still
+            # matters: a null value is not of any type)
+            arg = node.args[0]
+            if not isinstance(arg, Path):
+                raise ValueError(f"{node.name} requires a path argument")
+            name = arg.column_name()
+            dtype = dict(ctx.df.dtypes).get(name, "")
+            matches = _TYPE_PREDICATES[node.name](dtype)
+            col = _compile(arg, ctx)
+            return F.when(col.isNull(), F.lit(False)).otherwise(F.lit(matches))
         fn = CONVERTERS.get(node.name)
         if fn is None:
             raise ValueError(f"unknown converter {node.name!r}")
@@ -503,7 +547,11 @@ def _validate(node, *, top: bool = False) -> None:
     """Build-time function resolution (parser.go newFunctionCall analog):
     unknown editors/converters fail at compile, not mid-job."""
     if isinstance(node, Call):
-        known = _EDITORS if top else (set(CONVERTERS) | {"not", "Substring", "Int", "Double"})
+        known = _EDITORS if top else (
+            set(CONVERTERS)
+            | set(_TYPE_PREDICATES)
+            | {"not", "Substring", "Int", "Double"}
+        )
         if node.name not in known:
             kind = "editor" if top else "converter"
             raise ValueError(f"unknown {kind} {node.name!r}")

@@ -169,3 +169,32 @@ def test_parse_json_converter(df):
         df, ["set(j, ParseJSON('{\"x\": \"1\", \"y\": \"two\"}'))"]
     )
     assert rows(out)[0]["j"] == {"x": "1", "y": "two"}
+
+
+def test_type_predicates_static_resolution(df):
+    out = ottl.apply_statements(
+        df,
+        [
+            "set(s_is_str, IsString(role))",
+            "set(i_is_int, IsInt(id))",
+            "set(m_is_map, IsMap(attrs))",
+            "set(s_is_int, IsInt(role))",
+        ],
+    )
+    r = rows(out)[0]
+    assert r["s_is_str"] is True and r["i_is_int"] is True
+    assert r["m_is_map"] is True and r["s_is_int"] is False
+
+
+def test_url_and_useragent_converters(spark):
+    df2 = spark.createDataFrame(
+        [(1, "https://ex.com/a/b?k=v",
+          "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36")],
+        ["id", "u", "ua"],
+    )
+    out = ottl.apply_statements(df2, ["set(up, URL(u))", "set(uap, UserAgent(ua))"])
+    r = out.collect()[0]
+    assert r["up"]["url.scheme"] == "https" and r["up"]["url.domain"] == "ex.com"
+    assert r["up"]["url.path"] == "/a/b" and r["up"]["url.query"] == "k=v"
+    assert r["uap"]["user_agent.name"] in ("Chrome", "Safari")
+    assert r["uap"]["os.name"] == "Windows"
