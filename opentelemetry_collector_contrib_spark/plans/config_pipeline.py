@@ -125,6 +125,21 @@ STAGE_REGISTRY = {
 }
 
 
+def load_config(path: str) -> dict:
+    """Load a pipeline config from YAML or JSON — the collector-YAML
+    entry point. YAML is optional (json fallback keeps the engine free
+    of hard extra deps)."""
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
 def build_from_config(
     spark: SparkSession,
     sf_dir: str,

@@ -98,3 +98,22 @@ def test_recombine_options(spark, sf_dir):
         capped.agg(F.sum("n_combined")).first()[0]
         == turns.count()
     )
+
+
+def test_yaml_config_roundtrip(spark, sf_dir, tmp_path):
+    import yaml
+
+    p = tmp_path / "pipe.yaml"
+    p.write_text(yaml.safe_dump(FLAGSHIP_CONFIG))
+    cfg = cfgp.load_config(str(p))
+    tagged, sink_map = cfgp.build_from_config(spark, sf_dir, cfg)
+    got = {
+        r["sink"]: r["n"]
+        for r in connectors.routed_union(tagged, sink_map)
+        .groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    expect = {
+        r["sink"]: r["n"]
+        for r in pipeline.per_sink_counts(pipeline.build(spark, sf_dir)).collect()
+    }
+    assert got == expect

@@ -149,3 +149,38 @@ def test_multimodal_rebalance_partition_count(spark, docs):
     )
     # 100 rows * 1MiB / 16MiB => ~6 partitions
     assert 1 <= out.rdd.getNumPartitions() <= 16
+
+
+def test_unicode_text_survives_parse_and_dedup(spark):
+    rows_in = [
+        (1, "2024-01-01T00:00:00Z INFO svc-1: héllo wörld 你好 🎉 items=3"),
+        (2, "2024-01-01T00:00:00Z INFO svc-1: héllo wörld 你好 🎉 items=3"),
+        (3, "чистый текст без шаблона"),
+    ]
+    df = spark.createDataFrame(rows_in, ["doc_id", "text"])
+    from opentelemetry_collector_contrib_spark.operators import parsers
+    from opentelemetry_collector_contrib_spark.schema import (
+        PARSE_PATTERN,
+        PARSE_GROUPS,
+    )
+
+    parsed = parsers.regex_parse(df, PARSE_PATTERN, PARSE_GROUPS).collect()
+    by_id = {r["doc_id"]: r for r in parsed}
+    assert by_id[1]["parse_ok"] and "你好 🎉" in by_id[1]["msg"]
+    assert not by_id[3]["parse_ok"]
+
+    out = {r["keep_id"]: r["n_dups"] for r in dd.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_json_sink_write_readable(spark, sf_dir, tmp_path):
+    from opentelemetry_collector_contrib_spark.operators import connectors
+    from opentelemetry_collector_contrib_spark.plans import pipeline
+
+    res = pipeline.build(spark, sf_dir)
+    paths = connectors.write_routed(
+        res.tagged, res.sink_map, str(tmp_path), fmt="json", files_per_sink=2
+    )
+    total = sum(spark.read.json(p).count() for p in paths.values())
+    routed = connectors.routed_union(res.tagged, res.sink_map)
+    assert total == routed.count()
