@@ -31,6 +31,9 @@ class Route:
     sinks: list[str]
     context: str = "log"
     name: str | None = None
+    #: attributes stamped onto rows taking this route (router transformer's
+    #: per-route attach attributes, transformer/router/transformer.go:47-90)
+    attach: dict[str, str] | None = None
 
     def label(self, i: int) -> str:
         return self.name or f"route_{i}"
@@ -96,6 +99,21 @@ def route_logs(
     tagged = df.withColumn("_route", router_tag(conds, default=default)).drop(
         *[f"_rc_{i}" for i in range(len(routes))]
     )
+    # per-route attach attributes: stamped after the first-match tag so a
+    # row gets exactly its winning route's attributes
+    attach_keys = {k for r in routes if r.attach for k in r.attach}
+    for key in sorted(attach_keys):
+        expr = None
+        for i, r in enumerate(routes):
+            if r.attach and key in r.attach:
+                c = F.col("_route") == r.label(i)
+                expr = (
+                    F.when(c, r.attach[key])
+                    if expr is None
+                    else expr.when(c, r.attach[key])
+                )
+        old = F.col(key) if key in df.columns else F.lit(None).cast("string")
+        tagged = tagged.withColumn(key, expr.otherwise(old))
     if default_sinks:
         sink_map["default"] = list(default_sinks)
     return tagged, sink_map

@@ -88,19 +88,38 @@ def regex_parse(
     return out
 
 
-def _make_extract_udf(pattern: str, groups: list[str]):
+def _make_extract_udf(pattern: str, groups: list[str], *, batch_dedup: bool = False):
     """Arrow-batched pandas UDF: batch-of-strings -> struct of group matches.
 
     ``Series.str.extract`` is a single vectorized C call per batch — the
     'no per-row Python' contract from the north rule.  Regex is compiled
     once per executor (closure), mirroring the reference's compile-once
     OTTL closures (pkg/ottl/parser.go:146-160).
+
+    ``batch_dedup`` is the columnar analog of the regex parser's LRU
+    match cache (operator/parser/regex/config.go:81-88, regex/cache.go):
+    log streams repeat lines heavily, so each Arrow batch extracts only
+    its DISTINCT values and maps results back by join — pure pandas
+    (hash-join), still zero per-row Python. Off by default: it only pays
+    when the duplicate factor is high.
     """
     schema = T.StructType([T.StructField(g, T.StringType()) for g in groups])
     compiled = re.compile(pattern)
 
     @pandas_udf(schema)
     def extract(s: pd.Series) -> pd.DataFrame:
+        if batch_dedup:
+            uniq = pd.Series(s.dropna().unique())
+            ext = uniq.str.extract(compiled)
+            ext.columns = groups
+            ext["_v"] = uniq
+            out = (
+                s.rename("_v")
+                .to_frame()
+                .merge(ext, on="_v", how="left")[groups]
+            )
+            out.index = s.index
+            return out
         out = s.str.extract(compiled)
         out.columns = groups
         return out
@@ -115,10 +134,11 @@ def regex_parse_arrow(
     parse_from: str = "text",
     on_error: str = "send",
     prefix: str = "",
+    batch_dedup: bool = False,
 ) -> DataFrame:
     """Same contract as :func:`regex_parse` but via one pandas UDF."""
     groups = validate_regex_config(pattern)
-    udf = _make_extract_udf(pattern, groups)
+    udf = _make_extract_udf(pattern, groups, batch_dedup=batch_dedup)
     tmp = "_parsed"
     out = df.withColumn(tmp, udf(F.col(parse_from)))
     # match <=> first group non-null (pattern is fully anchored)

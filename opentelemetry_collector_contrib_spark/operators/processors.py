@@ -31,12 +31,24 @@ __all__ = [
 # (internal/coreinternal/attraction/attraction.go:22-88, exec :287-342)
 # ---------------------------------------------------------------------------
 
-def attr_insert(df: DataFrame, key: str, value) -> DataFrame:
-    """INSERT: set only if the attribute is absent/null (attraction.go:296)."""
+def attr_insert(
+    df: DataFrame, key: str, value, *, where: Column | None = None
+) -> DataFrame:
+    """INSERT: set only if the attribute is absent/null (attraction.go:296).
+
+    ``where`` = the processor's include/exclude match properties
+    (attributesprocessor filterspan gating): rows failing the predicate
+    pass through unmodified. Same parameter on the other actions."""
     v = value if isinstance(value, Column) else F.lit(value)
     if key in df.columns:
-        return df.withColumn(key, F.coalesce(F.col(key), v))
-    return df.withColumn(key, v)
+        new = F.coalesce(F.col(key), v)
+        old = F.col(key)
+    else:
+        new = v
+        old = F.lit(None).cast("string")
+    if where is not None:
+        new = F.when(where, new).otherwise(old)
+    return df.withColumn(key, new)
 
 
 def attr_update(df: DataFrame, key: str, value) -> DataFrame:
@@ -47,9 +59,14 @@ def attr_update(df: DataFrame, key: str, value) -> DataFrame:
     return df.withColumn(key, F.when(F.col(key).isNotNull(), v).otherwise(F.col(key)))
 
 
-def attr_upsert(df: DataFrame, key: str, value) -> DataFrame:
+def attr_upsert(
+    df: DataFrame, key: str, value, *, where: Column | None = None
+) -> DataFrame:
     """UPSERT: unconditional set (attraction.go:306)."""
     v = value if isinstance(value, Column) else F.lit(value)
+    if where is not None:
+        old = F.col(key) if key in df.columns else F.lit(None).cast("string")
+        v = F.when(where, v).otherwise(old)
     return df.withColumn(key, v)
 
 

@@ -77,3 +77,43 @@ def test_resource_route_strategies_agree(spark, turns):
             for r in routed.select("sink", "conv_id", "turn_idx").collect()
         )
     assert outs["broadcast"] == outs["window"]
+
+
+def test_route_attach_attributes(spark, turns):
+    routes = [
+        connectors.Route(F.col("role") == "tool", ["t"], "log", "tools",
+                         attach={"route_tag": "tooling", "prio": "high"}),
+        connectors.Route(F.col("role") == "user", ["u"], "log", "users",
+                         attach={"route_tag": "human"}),
+    ]
+    tagged, _ = connectors.route_logs(turns, routes, default_sinks=["rest"])
+    got = tagged.select("role", "_route", "route_tag", "prio").distinct().collect()
+    for r in got:
+        if r["_route"] == "tools":
+            assert r["route_tag"] == "tooling" and r["prio"] == "high"
+        elif r["_route"] == "users":
+            assert r["route_tag"] == "human" and r["prio"] is None
+        else:
+            assert r["route_tag"] is None and r["prio"] is None
+
+
+def test_attr_actions_where_gate(spark, turns):
+    from opentelemetry_collector_contrib_spark.operators import processors
+
+    df = processors.attr_upsert(
+        turns, "flag", "yes", where=F.col("role") == "system"
+    )
+    got = {r["role"]: r["flag"] for r in df.select("role", "flag").distinct().collect()}
+    assert got["system"] == "yes"
+    assert all(v is None for k, v in got.items() if k != "system")
+
+
+def test_arrow_batch_dedup_parity(spark, turns):
+    from opentelemetry_collector_contrib_spark.operators import parsers
+    from opentelemetry_collector_contrib_spark.schema import PARSE_PATTERN_NAMED
+
+    plain = parsers.regex_parse_arrow(turns, PARSE_PATTERN_NAMED)
+    dedup = parsers.regex_parse_arrow(turns, PARSE_PATTERN_NAMED, batch_dedup=True)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, dedup.collect()))
+    assert a == b
