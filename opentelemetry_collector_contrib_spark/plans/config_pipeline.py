@@ -112,7 +112,12 @@ def _stage_redact(df, spark, sf_dir, cfg):
     )
 
 
+def _stage_resource_detect(df, spark, sf_dir, cfg):
+    return processors.resource_detect(df, cfg["detectors"])
+
+
 STAGE_REGISTRY = {
+    "resource_detect": _stage_resource_detect,
     "regex_parser": _stage_regex_parser,
     "grok_parser": _stage_grok_parser,
     "key_value_parser": _stage_kv,
@@ -166,6 +171,7 @@ def build_from_config(
             sinks=list(r["sinks"]),
             context=r.get("context", "log"),
             name=r.get("name"),
+            attach=r.get("attach"),
         )
         for r in config.get("routes", [])
     ]
