@@ -947,7 +947,8 @@ def oracle_sql() -> dict[str, str]:
         "WHERE p.level = 'ERROR' AND cd.team IS NOT NULL AND cd.team <> '' "
         "GROUP BY cd.team",
         "sum_items_by_team": f"{_TD}, {_PARSED_CTE} "
-        "SELECT cd.team, sum(cast(regexp_extract(p.msg, 'items=(-?[0-9]+)', 1) AS bigint)) "
+        "SELECT cd.team, cast(sum(cast(regexp_extract(p.msg, 'items=(-?[0-9]+)', 1) "
+        "AS bigint)) AS bigint) "
         "AS sum_items FROM parsed p "
         "JOIN conv_dim cd ON p.conv_id = cd.conv_id "
         "WHERE p.parse_ok AND cd.team IS NOT NULL AND cd.team <> '' GROUP BY cd.team",
@@ -1080,7 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "sub AS (SELECT conv_id, cast(floor(turn_idx / 8) AS bigint) AS blk, "
         "md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS subd, count(*) AS n "
         "FROM transcripts GROUP BY 1, 2) "
-        "SELECT conv_id, sum(n) AS n_turns, "
+        "SELECT conv_id, cast(sum(n) AS bigint) AS n_turns, "
         "md5(string_agg(subd, chr(10) ORDER BY blk)) AS digest "
         "FROM sub GROUP BY conv_id",
         "salted_count_by_role": f"{_T} "

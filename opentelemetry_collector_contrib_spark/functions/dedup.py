@@ -110,13 +110,23 @@ def lsh_pairs(
     id_col: str = "doc_id",
     k: int = 12,
     bands: int = 4,
-    max_band_size: int | None = None,
+    max_band_size: int | None = 1000,
 ) -> DataFrame:
     """Banded LSH candidate pairs: docs agreeing on ALL rows of any band.
 
     band_hash = md5 of the band's signature slice; a self-equi-join on
     (band, band_hash) yields candidates; `a < b` + distinct dedups the
-    pair set across bands."""
+    pair set across bands.
+
+    ``max_band_size`` (default 1000) caps the rows per (band, band_hash)
+    bucket BEFORE the self-join: a hot band of d identical boilerplate
+    docs would otherwise emit d²/2 pairs — at corpus scale one template
+    cluster can dominate the whole shuffle. The cap truncates
+    deterministically (ordered by id), so any doc past the cap still
+    pairs with nothing *through that band* but stays eligible via its
+    other bands; downstream dedup treats the capped cluster through its
+    first `max_band_size` members. Pass ``None`` to disable (exact
+    candidate set, e.g. for small corpora or oracle comparisons)."""
     r = k // bands
     band_structs = [
         F.struct(
@@ -203,11 +213,13 @@ def jaccard_topk_pairs(
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # sizes has one row per document — NOT broadcastable at corpus scale;
+    # plain shuffled joins (AQE picks broadcast itself when sizes is small)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     scored = (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("common").cast("double")

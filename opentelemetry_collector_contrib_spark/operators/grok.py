@@ -115,9 +115,26 @@ def grok_parse(
     parse_from: str = "text",
     on_error: str = "send",
 ) -> DataFrame:
-    """ExtractGrokPatterns as a parse stage: compile once, then the
-    vectorized Arrow regex path (named groups preserved)."""
+    """ExtractGrokPatterns as a parse stage: compile once on the driver,
+    then the pure-JVM ``regexp_extract`` path (whole-stage codegen, no
+    Arrow boundary). Extraction is by group INDEX from the compiled
+    pattern (Java group names forbid '_', and stray unnamed capturing
+    groups inside user definitions can't shift an index-based mapping),
+    so the named groups are stripped to plain groups for the JVM."""
+    from pyspark.sql import functions as F
+
     rx = grok_to_regex(pattern, definitions=definitions)
-    return parsers.regex_parse_arrow(
-        df, rx, parse_from=parse_from, on_error=on_error
-    )
+    compiled = re.compile(rx)
+    if not compiled.groupindex:
+        raise ValueError("grok pattern defines no named fields")
+    jpattern = re.sub(r"\(\?P<[^>]+>", "(", rx)
+    src = F.col(parse_from)
+    ok = src.rlike(jpattern)
+    cols = [
+        F.when(ok, F.regexp_extract(src, jpattern, idx)).alias(name)
+        for name, idx in sorted(compiled.groupindex.items(), key=lambda kv: kv[1])
+    ]
+    out = df.select("*", ok.alias("parse_ok"), *cols)
+    if on_error == "drop":
+        out = out.filter(F.col("parse_ok"))
+    return out

@@ -33,6 +33,15 @@ import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from .parsers import strptime_to_java
+from .udf_converters import (
+    fnv64a_udf,
+    murmur3_128_udf,
+    parse_simplified_xml_udf,
+    parse_xml_udf,
+)
 
 __all__ = ["compile_statement", "apply_statements", "Statement", "CONVERTERS"]
 
@@ -278,6 +287,110 @@ def _extract_patterns(col: Column, pattern: str) -> Column:
     return F.when(col.rlike(jpattern), m).otherwise(empty)
 
 
+# Go time.ParseDuration (func_duration.go:32-44): "1h30m15.5s" etc.
+# Decomposed JVM-side: regexp_extract_all the (value, unit) segments and
+# fold them into nanoseconds with one aggregate — no Python.
+_DUR_SEG = r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)"
+
+
+def _duration_nanos(x: Column) -> Column:
+    segs = F.regexp_extract_all(x, F.lit(_DUR_SEG), F.lit(0))
+
+    def mult(s: Column) -> Column:
+        # order matters: ns/us/ms before bare s; s before m (so "ms"
+        # can't fall through to "s", "5m" can't match "s")
+        return (
+            F.when(s.endswith("ns"), F.lit(1.0))
+            .when(s.endswith("us") | s.endswith("µs"), F.lit(1e3))
+            .when(s.endswith("ms"), F.lit(1e6))
+            .when(s.endswith("s"), F.lit(1e9))
+            .when(s.endswith("m"), F.lit(6e10))
+            .otherwise(F.lit(3.6e12))
+        )
+
+    total = F.aggregate(
+        segs,
+        F.lit(0.0),
+        lambda acc, s: acc + F.regexp_extract(s, _DUR_SEG, 1).cast("double") * mult(s),
+    )
+    signed = F.when(x.startswith("-"), -total).otherwise(total)
+    # Go errors on a unit-less/invalid string; error-channel analog: null
+    return F.when(F.size(segs) > 0, signed.cast("long")).otherwise(
+        F.lit(None).cast("long")
+    )
+
+
+def _decode(x: Column, enc) -> Column:
+    """Decode (func_decode.go:35-80): base64 + IANA charsets. The flat
+    string model already holds utf-8, so charset decodes that land on
+    utf-8/ascii are identity; others are compile-time errors."""
+    e = enc._lit.lower()
+    if e == "base64":
+        return F.unbase64(x).cast("string")
+    if e == "hex":
+        return F.unhex(x).cast("string")
+    if e in ("us-ascii", "ascii", "utf-8", "utf8"):
+        return x.cast("string")
+    raise ValueError(f"Decode: unsupported encoding {e!r}")
+
+
+def _parse_csv(x: Column, headers, delim=None, hdelim=None, mode=None) -> Column:
+    """ParseCSV (func_parse_csv.go): one CSV row -> map keyed by headers.
+    Quoted fields (including embedded delimiters) handled by the JVM
+    from_csv parser; mode=ignoreQuotes disables quote interpretation."""
+    d = delim._lit if delim is not None else ","
+    hd = hdelim._lit if hdelim is not None else ","
+    hs = headers._lit.split(hd)
+    schema = ", ".join(f"`_c{i}` STRING" for i in range(len(hs)))
+    opts = {"sep": d}
+    if mode is not None and mode._lit == "ignoreQuotes":
+        opts["quote"] = ""  # empty quote char disables quoting
+    parsed = F.from_csv(x, schema, opts)
+    return F.map_from_arrays(
+        F.array(*[F.lit(h) for h in hs]),
+        F.array(*[parsed.getField(f"_c{i}") for i in range(len(hs))]),
+    )
+
+
+def _slice_to_map(arr: Column, key, value=None) -> Column:
+    """SliceToMap (func_slice_to_map.go:33-90): array of maps -> map
+    keyed by each element's ``key`` entry. Without a value path the
+    element itself is the value (map<string,map<...>>); elements missing
+    the key are dropped (the reference errors — error-channel analog)."""
+    k = key._lit
+    eligible = F.filter(arr, lambda e: e[k].isNotNull())
+    if value is None:
+        entries = F.transform(
+            eligible, lambda e: F.struct(e[k].alias("key"), e.alias("value"))
+        )
+    else:
+        v = value._lit
+        entries = F.transform(
+            eligible, lambda e: F.struct(e[k].alias("key"), e[v].alias("value"))
+        )
+    return F.map_from_entries(entries)
+
+
+def _to_kv_string(m: Column, delim=None, pair_delim=None, sort_output=None) -> Column:
+    """ToKeyValueString (func_to_key_value_string.go:39-121): map ->
+    "k=v k2=v2"; values containing a delimiter are escaped+quoted."""
+    d = delim._lit if delim is not None else "="
+    p = pair_delim._lit if pair_delim is not None else " "
+    if not d or not p or d == p:
+        raise ValueError("ToKeyValueString: invalid delimiters")
+
+    def esc(c: Column) -> Column:
+        c = F.regexp_replace(c, '"', '\\\\"')
+        need = c.contains(d) | c.contains(p)
+        return F.when(need, F.concat(F.lit('"'), c, F.lit('"'))).otherwise(c)
+
+    entries = F.map_entries(m)
+    if sort_output is not None and sort_output._lit:
+        entries = F.array_sort(entries)  # struct sort: key is first field
+    parts = F.transform(entries, lambda e: F.concat(esc(e["key"]), F.lit(d), esc(e["value"])))
+    return F.array_join(parts, p)
+
+
 CONVERTERS: dict[str, callable] = {
     # string — Concat(values[], delimiter) per ottlfuncs/func_concat.go
     "Concat": lambda vals, sep: F.concat_ws(sep._lit, *vals),
@@ -303,10 +416,12 @@ CONVERTERS: dict[str, callable] = {
     "Len": lambda x: F.length(x),
     "Format": lambda fmt, vals: F.format_string(fmt._lit, *vals),
     "Base64Decode": lambda x: F.unbase64(x).cast("string"),
-    "Decode": lambda x, enc: F.unbase64(x).cast("string"),
+    "Decode": _decode,
     "Hex": lambda x: F.hex(x),
+    "ToKeyValueString": _to_kv_string,
     # collection
     "Sort": lambda x: F.array_sort(x),
+    "SliceToMap": _slice_to_map,
     "IsMatch": lambda x, pat: x.rlike(pat._lit),
     "ExtractPatterns": lambda x, pat: _extract_patterns(x, pat._lit),
     # math / type
@@ -327,8 +442,26 @@ CONVERTERS: dict[str, callable] = {
     "Day": lambda x: F.dayofmonth(x),
     "Month": lambda x: F.month(x),
     "Year": lambda x: F.year(x),
+    # FormatTime takes a strptime format like the Time converter
+    # (func_formattime.go:33-51 converts strptime->gotime; we convert
+    # strptime->DateTimeFormatter once on the driver)
+    "FormatTime": lambda x, fmt: F.date_format(x, strptime_to_java(fmt._lit)),
+    "Now": lambda: F.current_timestamp(),
+    # Go Weekday: Sunday=0 (func_weekday.go:31-39); Spark dayofweek: Sunday=1
+    "Weekday": lambda x: (F.dayofweek(x) - 1).cast("long"),
+    # Duration family: Go time.Duration is int64 nanoseconds; the
+    # extractors mirror its accessors (Seconds/Minutes/Hours -> float64,
+    # Milliseconds/Microseconds/Nanoseconds -> int64 truncated toward 0)
+    "Duration": _duration_nanos,
+    "Seconds": lambda x: x.cast("double") / 1e9,
+    "Minutes": lambda x: x.cast("double") / 6e10,
+    "Hours": lambda x: x.cast("double") / 3.6e12,
+    "Milliseconds": lambda x: (x.cast("double") / 1e6).cast("long"),
+    "Microseconds": lambda x: (x.cast("double") / 1e3).cast("long"),
+    "Nanoseconds": lambda x: x.cast("long"),
     # parse (converter forms; full parser stages live in operators/parsers.py)
     "ParseJSON": lambda x: F.from_json(x, "map<string,string>"),
+    "ParseCSV": _parse_csv,
     "ParseKeyValue": lambda x, pd=None, kd=None: F.str_to_map(
         x,
         F.lit(pd._lit if pd is not None else " "),
@@ -343,15 +476,26 @@ CONVERTERS: dict[str, callable] = {
     ),
     # UserAgent converter — regex heuristic standing in for the
     # reference's ua-parser dependency (documented approximation)
+    # regexp_extract returns '' (not null) on no match, so the 'Other'
+    # fallback needs a nullif('') bridge — ua-parser returns 'Other' for
+    # unknown agents and so do we
     "UserAgent": lambda x: F.create_map(
         F.lit("user_agent.name"),
-        F.coalesce(F.regexp_extract(x, r"(Firefox|Chrome|Safari|curl|wget)", 1),
-                   F.lit("Other")),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(x, r"(Firefox|Chrome|Safari|curl|wget)", 1),
+                F.lit(""),
+            ),
+            F.lit("Other"),
+        ),
         F.lit("user_agent.version"),
         F.regexp_extract(x, r"(?:Firefox|Chrome|curl|wget)[/ ]([\d.]+)", 1),
         F.lit("os.name"),
         F.coalesce(
-            F.regexp_extract(x, r"(Windows|Mac OS X|Android|iPhone OS|Linux)", 1),
+            F.nullif(
+                F.regexp_extract(x, r"(Windows|Mac OS X|Android|iPhone OS|Linux)", 1),
+                F.lit(""),
+            ),
             F.lit("Other"),
         ),
     ),
@@ -359,8 +503,17 @@ CONVERTERS: dict[str, callable] = {
     "MD5": lambda x: F.md5(x.cast("string")),
     "SHA1": lambda x: F.sha1(x.cast("string")),
     "SHA256": lambda x: F.sha2(x.cast("string"), 256),
+    "SHA512": lambda x: F.sha2(x.cast("string"), 512),
     "Murmur3Hash": lambda x: F.hash(x).cast("string"),  # 32-bit murmur3 (Spark-native)
+    # FNV-1a 64 / murmur3 x64-128 have no JVM builtin; Arrow-batched
+    # numpy/python implementations (operators/udf_converters.py)
+    "FNV": lambda x: fnv64a_udf(x.cast("string")),
+    "Murmur3Hash128": lambda x: murmur3_128_udf(x.cast("string")),
     "UUID": lambda: F.expr("uuid()"),
+    # XML (recursive data-dependent shape -> JSON string of the
+    # reference's nested map; see udf_converters.py)
+    "ParseXML": lambda x: parse_xml_udf(x.cast("string")),
+    "ParseSimplifiedXML": lambda x: parse_simplified_xml_udf(x.cast("string")),
 }
 
 
@@ -448,6 +601,70 @@ def _compile(node, ctx: _Ctx) -> Column:
 # editors (mutate the DataFrame; ottlfuncs/functions.go:12-26)
 # ---------------------------------------------------------------------------
 
+def _flatten_map_col(col: Column, dt, prefix: str, depth: int) -> Column:
+    """flatten editor (func_flatten.go:88-130) over a statically-typed
+    map column. The reference walks each record's dynamic value tree; a
+    Spark map's value type is uniform and known at compile time, so the
+    walk happens HERE, once, and emits a single JVM expression:
+
+      map<string, map<...>>  -> inner keys become "outer.inner"
+      map<string, array<...>>-> elements become "key.0", "key.1", ...
+      map<string, atomic>    -> prefix applied (if any), else identity
+    """
+    if not isinstance(dt, T.MapType):
+        raise ValueError("flatten requires a map column")
+    pfx = (prefix + ".") if prefix else ""
+    vt = dt.valueType
+    if isinstance(vt, T.MapType) and depth > 0:
+        # flatten one level, then recurse on the (already-prefixed) result
+        flattened = F.map_from_entries(
+            F.flatten(
+                F.transform(
+                    F.map_entries(col),
+                    lambda e: F.transform(
+                        F.map_entries(e["value"]),
+                        lambda ie: F.struct(
+                            F.concat(F.lit(pfx), e["key"], F.lit("."), ie["key"]).alias(
+                                "key"
+                            ),
+                            ie["value"].alias("value"),
+                        ),
+                    ),
+                )
+            )
+        )
+        inner_dt = T.MapType(T.StringType(), vt.valueType)
+        return _flatten_map_col(flattened, inner_dt, "", depth - 1)
+    if isinstance(vt, T.ArrayType) and depth > 0:
+        return F.map_from_entries(
+            F.flatten(
+                F.transform(
+                    F.map_entries(col),
+                    lambda e: F.transform(
+                        e["value"],
+                        lambda x, i: F.struct(
+                            F.concat(
+                                F.lit(pfx), e["key"], F.lit("."), i.cast("string")
+                            ).alias("key"),
+                            x.alias("value"),
+                        ),
+                    ),
+                )
+            )
+        )
+    if prefix:
+        return F.map_from_entries(
+            F.transform(
+                F.map_entries(col),
+                lambda e: F.struct(
+                    F.concat(F.lit(pfx), e["key"]).alias("key"),
+                    e["value"].alias("value"),
+                ),
+            )
+        )
+    return col
+
+
 def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
     ed = st.editor
     cond = _compile(st.where, ctx) if st.where is not None else None
@@ -472,8 +689,34 @@ def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
         if dict(df.dtypes).get(name, "").startswith("map"):
             new = F.map_filter(F.col(name), lambda k, _: k != F.lit(key.value))
             return gated(name, new)
-        # flat model: deleting a promoted column
+        # flat model: deleting a promoted column. A gated delete can't
+        # drop the column for only SOME rows — null it per-row instead,
+        # honoring the editor contract for `where`
+        if cond is not None and key.value in df.columns:
+            return df.withColumn(
+                key.value, F.when(cond, F.lit(None)).otherwise(F.col(key.value))
+            )
         return df.drop(key.value)
+    if ed.name in ("delete_matching_keys", "keep_matching_keys"):
+        # func_delete_matching_keys.go / func_keep_matching_keys.go:
+        # regex over KEYS of the map
+        target, pat = ed.args
+        name = target.column_name()
+        if ed.name == "keep_matching_keys":
+            new = F.map_filter(F.col(name), lambda k, _: k.rlike(pat.value))
+        else:
+            new = F.map_filter(F.col(name), lambda k, _: ~k.rlike(pat.value))
+        return gated(name, new)
+    if ed.name == "flatten":
+        # func_flatten.go:45-130: flatten nested maps/slices, optional
+        # prefix and depth. Spark types are static, so the recursion
+        # happens at COMPILE time over the dtype — execution stays JVM.
+        target = ed.args[0]
+        prefix = ed.args[1].value if len(ed.args) > 1 else ""
+        depth = ed.args[2].value if len(ed.args) > 2 else 2**31
+        name = target.column_name()
+        dt = ctx.df.schema[name].dataType
+        return gated(name, _flatten_map_col(F.col(name), dt, prefix, depth))
     if ed.name == "keep_keys":
         target, keys = ed.args
         name = target.column_name()
@@ -490,7 +733,14 @@ def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
         # glob match -> whole-value replacement (func_replace_match.go)
         target, glob_pat, repl = ed.args[:3]
         name = target.column_name()
-        like = glob_pat.value.replace("%", r"\%").replace("*", "%").replace("?", "_")
+        # escape LIKE metachars (% AND _) before translating glob
+        # wildcards; '?'->'_' runs last so its output isn't re-escaped
+        like = (
+            glob_pat.value.replace("%", r"\%")
+            .replace("_", r"\_")
+            .replace("*", "%")
+            .replace("?", "_")
+        )
         new = F.when(F.col(name).like(like), F.lit(repl.value)).otherwise(F.col(name))
         return gated(name, new)
     if ed.name == "merge_maps":
@@ -523,11 +773,30 @@ def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
             F.transform_values(F.col(name), lambda _, v: F.substring(v, 1, n.value)),
         )
     if ed.name == "limit":
+        # limit(target, n [, priority_keys]) (func_limit.go:35-80):
+        # no-op when the map already fits; priority keys survive first
         target, n = ed.args[:2]
         name = target.column_name()
+        col = F.col(name)
+        if len(ed.args) > 2:
+            keys = [k.value for k in ed.args[2].items]
+            if n.value < len(keys):
+                raise ValueError(
+                    f"limit {n.value} cannot be less than number of "
+                    f"priority keys {len(keys)}"
+                )
+            entries = F.map_entries(col)
+            pri_arr = F.array(*[F.lit(k) for k in keys])
+            pri = F.filter(entries, lambda e: F.array_contains(pri_arr, e["key"]))
+            rest = F.filter(entries, lambda e: ~F.array_contains(pri_arr, e["key"]))
+            room = F.greatest(F.lit(0), F.lit(n.value) - F.size(pri))
+            new = F.when(F.size(entries) <= n.value, col).otherwise(
+                F.map_from_entries(F.concat(pri, F.slice(rest, F.lit(1), room)))
+            )
+            return gated(name, new)
         return gated(
             name,
-            F.map_from_entries(F.slice(F.map_entries(F.col(name)), 1, n.value)),
+            F.map_from_entries(F.slice(F.map_entries(col), 1, n.value)),
         )
     if ed.name == "append":
         target, value = ed.args
@@ -540,6 +809,7 @@ _EDITORS = {
     "set", "delete_key", "keep_keys", "replace_pattern",
     "replace_all_patterns", "replace_match", "replace_all_matches",
     "merge_maps", "truncate_all", "limit", "append",
+    "delete_matching_keys", "keep_matching_keys", "flatten",
 }
 
 

@@ -1,0 +1,232 @@
+"""Arrow-batched pandas-UDF converters for OTTL functions whose
+semantics genuinely can't be expressed in Catalyst expressions:
+
+  * ``FNV`` — FNV-1a 64-bit (hash/fnv New64a, func_fnv.go:32-46) needs
+    wrap-around uint64 multiplication; Spark 4's ANSI mode makes int64
+    overflow an error, so the hot loop runs in numpy uint64 (which wraps
+    by definition), vectorized across the batch per byte position.
+  * ``Murmur3Hash128`` — x64 128-bit murmur3, hex of little-endian
+    h1||h2 (func_murmur3_hash128.go:35-48). Block-structured with
+    per-string tails; computed per row in Python int math inside the
+    Arrow batch. Not a hot-path function — document-ID hashing at scale
+    should use the JVM-side xxhash64/md5/sha2 instead.
+  * ``ParseXML`` / ``ParseSimplifiedXML`` — recursive documents with
+    data-dependent shape (func_parse_xml.go:63-130,
+    func_parse_simplified_xml.go:50-140). The reference returns a nested
+    pcommon.Map; the columnar analog here is a JSON string with the SAME
+    nested structure (chain ``from_json`` with a known schema to get
+    typed columns). stdlib ElementTree (C-accelerated) per batch.
+
+Everything here transfers via Arrow batches — no row-at-a-time Python
+UDFs; these run only where the user's statement calls them.
+"""
+
+from __future__ import annotations
+
+import json
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "fnv64a_udf",
+    "murmur3_128_udf",
+    "parse_xml_udf",
+    "parse_simplified_xml_udf",
+    "mmh3_x64_128",
+]
+
+_MASK64 = (1 << 64) - 1
+
+
+@pandas_udf(T.LongType())
+def fnv64a_udf(s: pd.Series) -> pd.Series:
+    """FNV-1a 64 over UTF-8 bytes, batch-vectorized: strings are padded
+    into a (rows, maxlen) uint8 matrix; the per-byte-position loop runs
+    numpy ops across ALL rows at once (maxlen iterations total)."""
+    vals = s.fillna("")
+    bts = [v.encode("utf-8") for v in vals]
+    n = len(bts)
+    h = np.full(n, np.uint64(14695981039346656037), dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    maxlen = max((len(b) for b in bts), default=0)
+    if maxlen:
+        arr = np.zeros((n, maxlen), dtype=np.uint8)
+        lens = np.fromiter((len(b) for b in bts), dtype=np.int64, count=n)
+        for i, b in enumerate(bts):
+            arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                active = lens > j
+                h[active] = (h[active] ^ arr[active, j].astype(np.uint64)) * prime
+    out = pd.Series(h.view(np.int64), index=s.index, dtype="Int64")
+    out[s.isna()] = pd.NA
+    return out
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _MASK64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _MASK64
+    k ^= k >> 33
+    return k
+
+
+def mmh3_x64_128(key: bytes, seed: int = 0) -> tuple[int, int]:
+    """Standard MurmurHash3 x64 128 (Austin Appleby's public-domain
+    algorithm, as wrapped by spaolacci/murmur3 in the reference)."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = seed
+    length = len(key)
+    nblocks = length // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(key[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(key[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (k1 * c1) & _MASK64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _MASK64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _MASK64
+        h1 = (h1 * 5 + 0x52DCE729) & _MASK64
+        k2 = (k2 * c2) & _MASK64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _MASK64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _MASK64
+        h2 = (h2 * 5 + 0x38495AB5) & _MASK64
+    tail = key[nblocks * 16 :]
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:], "little")
+        k2 = (k2 * c2) & _MASK64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _MASK64
+        h2 ^= k2
+    if tail:
+        k1 = int.from_bytes(tail[:8], "little")
+        k1 = (k1 * c1) & _MASK64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _MASK64
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _MASK64
+    h2 = (h2 + h1) & _MASK64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _MASK64
+    h2 = (h2 + h1) & _MASK64
+    return h1, h2
+
+
+@pandas_udf(T.StringType())
+def murmur3_128_udf(s: pd.Series) -> pd.Series:
+    def one(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        h1, h2 = mmh3_x64_128(str(v).encode("utf-8"))
+        return h1.to_bytes(8, "little").hex() + h2.to_bytes(8, "little").hex()
+
+    return s.map(one)
+
+
+# ---------------------------------------------------------------------------
+# XML
+# ---------------------------------------------------------------------------
+
+def _strip_ns(tag: str) -> str:
+    # ElementTree encodes namespaces as {uri}local; the reference keeps
+    # Name.Local only
+    return tag.rsplit("}", 1)[-1]
+
+
+def _xml_into_dict(el: ET.Element) -> dict:
+    """func_parse_xml.go intoMap: {tag, content?, attributes?, children?}."""
+    out: dict = {"tag": _strip_ns(el.tag)}
+    text = (el.text or "").strip()
+    for child in el:
+        text += (child.tail or "").strip()
+    if text:
+        out["content"] = text
+    if el.attrib:
+        out["attributes"] = {_strip_ns(k): v for k, v in el.attrib.items()}
+    children = [_xml_into_dict(c) for c in el]
+    if children:
+        out["children"] = children
+    return out
+
+
+@pandas_udf(T.StringType())
+def parse_xml_udf(s: pd.Series) -> pd.Series:
+    def one(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        try:
+            root = ET.fromstring(v)
+        except ET.ParseError:
+            return None  # on_error: null flows on (no exceptions mid-job)
+        return json.dumps(_xml_into_dict(root), separators=(",", ":"), sort_keys=True)
+
+    return s.map(one)
+
+
+def _simplified(el: ET.Element) -> dict:
+    """func_parse_simplified_xml.go parseElement: element text only,
+    repeated tags become lists, attributes/extraneous text dropped."""
+    counts: dict[str, int] = {}
+    for c in el:
+        counts[_strip_ns(c.tag)] = counts.get(_strip_ns(c.tag), 0) + 1
+    out: dict = {}
+    for c in el:
+        tag = _strip_ns(c.tag)
+        has_el_children = len(c) > 0
+        leaf = "" if has_el_children else (c.text or "").strip()
+        if counts[tag] > 1:
+            arr = out.setdefault(tag, [])
+            if leaf:
+                arr.append(leaf)
+            else:
+                sub = _simplified(c)
+                if sub:
+                    arr.append(sub)
+        elif leaf:
+            out[tag] = leaf
+        else:
+            sub = _simplified(c)
+            if sub:
+                out[tag] = sub
+    return out
+
+
+@pandas_udf(T.StringType())
+def parse_simplified_xml_udf(s: pd.Series) -> pd.Series:
+    def one(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        try:
+            root = ET.fromstring(v)
+        except ET.ParseError:
+            return None
+        # the reference parses the document node: the root element is a
+        # child of the document, so the result is {root_tag: {...}}
+        wrapper = {"__doc__": None}
+        has_children = len(root) > 0
+        leaf = "" if has_children else (root.text or "").strip()
+        tag = _strip_ns(root.tag)
+        if leaf:
+            wrapper = {tag: leaf}
+        else:
+            sub = _simplified(root)
+            wrapper = {tag: sub} if sub else {}
+        return json.dumps(wrapper, separators=(",", ":"), sort_keys=True)
+
+    return s.map(one)
