@@ -82,34 +82,68 @@ def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: custom severity mapping exercised by q_severity: an HTTP-status-like
+#: code column mapped through ranges + "Nxx" specials
+#: (helper/severity_builder.go:113-165)
+_SEV_MAPPING = {
+    "info": ["2xx"],
+    "warn3": [{"min": 300, "max": 399}],
+    "error": ["4xx"],
+    "fatal": ["5xx"],
+}
+
+
 def q_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = parsers.severity_parse(_parsed(spark, sf_dir), parse_from="level")
-    return df.select("conv_id", "turn_idx", "severity_text", "severity_num")
-
-
-def q_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = parsers.time_parse(_parsed(spark, sf_dir), parse_from="ts_raw")
-    return df.select("conv_id", "turn_idx", "event_ts")
-
-
-def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _parsed(spark, sf_dir)
-    df = processors.enrich_lookup(df, src.conv_dim_df(spark, sf_dir), on="conv_id")
-    df = processors.enrich_lookup(df, src.tool_dim_df(spark), on="tool")
+    # user-defined mapping path: code in 200..599 resolved through the
+    # custom ranges, with overwrite_text yielding the canonical name
+    df = df.withColumn("code", ((F.col("turn_idx") % 400) + 200).cast("string"))
+    df = parsers.severity_parse(
+        df.withColumnRenamed("severity_num", "_sn")
+        .withColumnRenamed("severity_text", "_st"),
+        parse_from="code",
+        mapping=_SEV_MAPPING,
+        overwrite_text=True,
+    )
     return df.select(
-        "conv_id", "turn_idx", "team", "env", "region", "tool_family", "risk_tier"
+        "conv_id",
+        "turn_idx",
+        F.col("_st").alias("severity_text"),
+        F.col("_sn").alias("severity_num"),
+        F.col("severity_num").alias("custom_num"),
+        F.col("severity_text").alias("custom_text"),
     )
 
 
-def q_enrich_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """setResourceAttribute semantics: pre-existing non-null attr wins
+def q_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strptime + gotime + epoch layouts in one stage
+    (operator/helper/time.go:19-26)."""
+    df = parsers.time_parse(_parsed(spark, sf_dir), parse_from="ts_raw")
+    df = parsers.time_parse(
+        df, parse_from="ts_raw", layout="2006-01-02T15:04:05Z",
+        layout_type="gotime", out="gotime_ts",
+    )
+    df = df.withColumn("epoch_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+    df = parsers.time_parse(
+        df, parse_from="epoch_ms", layout="ms", layout_type="epoch", out="epoch_ts"
+    )
+    return df.select("conv_id", "turn_idx", "event_ts", "gotime_ts", "epoch_ts")
+
+
+def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast enrich + insert-if-absent in one pass: env is pre-set
+    for system rows and must WIN over the dimension value
     (k8sattributesprocessor/processor.go:189-194)."""
     df = _parsed(spark, sf_dir)
     df = df.withColumn(
         "env", F.when(F.col("role") == "system", F.lit("forced-env"))
     )
     df = processors.enrich_lookup(df, src.conv_dim_df(spark, sf_dir), on="conv_id")
-    return df.select("conv_id", "turn_idx", "env")
+    df = processors.enrich_lookup(df, src.tool_dim_df(spark), on="tool")
+    return df.select(
+        "conv_id", "turn_idx", "team", "env", "region", "tool_family", "risk_tier"
+    )
+
 
 
 def q_route_per_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,12 +232,27 @@ def q_attributes_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """redactionprocessor: mask user=N values in text."""
+    """redactionprocessor: allowed-key column drop + blocked-value
+    masking + summary attributes (processor.go:193+,320-340) in one
+    projection."""
     turns = src.transcripts_df(spark, sf_dir)
     out = processors.redact(
-        turns, mask_patterns={"user_ids": r"user=\d+"}, mask_cols=["text"]
+        turns,
+        allowed_keys=["conv_id", "turn_idx", "role", "text"],
+        mask_patterns={"user_ids": r"user=\d+"},
+        mask_cols=["text"],
+        summary="debug",
     )
-    return out.select("conv_id", "turn_idx", F.col("text").alias("redacted"))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("text").alias("redacted"),
+        F.col("`redaction.masked.count`").alias("masked_count"),
+        F.col("`redaction.masked.keys`").alias("masked_keys"),
+        F.col("`redaction.redacted.count`").alias("redacted_count"),
+        F.col("`redaction.redacted.keys`").alias("redacted_keys"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +358,14 @@ def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "parse_ok", "a", "b")
 
 
-_CSV_LINE = "role || ',' || tool || ',' || cast(turn_idx AS string)"
+# three CSV shapes: quoted field with embedded delimiter (the case a
+# bare split mis-parses, operator/parser/csv/parser_test.go), a valid
+# trailing empty field, and a short row (Go csv.Reader errors -> on_error)
+_CSV_LINE = (
+    "CASE WHEN turn_idx % 7 = 0 THEN role "
+    "WHEN turn_idx % 7 = 3 THEN role || ',\"' || tool || ',q\",' "
+    "ELSE role || ',\"' || tool || ',q\",' || cast(turn_idx AS string) END"
+)
 
 
 def q_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,16 +387,6 @@ def q_uri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parsers.uri_parse(lines)
     return out.select("conv_id", "turn_idx", "scheme", "host", "path", "query")
 
-
-def q_time_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """epoch-layout time parse (operator/helper/time.go: epoch ms) —
-    round-trips the original timestamp."""
-    turns = src.transcripts_df(spark, sf_dir)
-    with_ms = turns.withColumn("epoch_ms", F.unix_millis(F.col("ts").cast("timestamp")))
-    out = parsers.time_parse(
-        with_ms, parse_from="epoch_ms", layout="ms", layout_type="epoch"
-    )
-    return out.select("conv_id", "turn_idx", "event_ts")
 
 
 def q_transformer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,12 +492,6 @@ def q_assign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_redaction_allowed_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """redactionprocessor allowed-key list: non-allowed columns dropped
-    (processor/redactionprocessor/processor.go:29-47)."""
-    turns = src.transcripts_df(spark, sf_dir)
-    return processors.redact(turns, allowed_keys=["conv_id", "turn_idx", "role"])
-
 
 def q_resource_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """resourcedetectionprocessor: startup-detected metadata stamped as
@@ -477,21 +517,17 @@ def q_log_dedup_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_conv_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn text equality under stable turn ordering (north_rule
-    invariant): order-insensitive-to-shuffle per-conv digest."""
+    invariant): order-insensitive-to-shuffle per-conv digest, in BOTH
+    forms — flat and hierarchical (block-parallel, the hot-conversation-
+    proof variant; block=8 so sf0.001 convs span several blocks)."""
     from opentelemetry_collector_contrib_spark.plans import ordering
 
     turns = src.transcripts_df(spark, sf_dir)
-    return ordering.conv_text_digest(turns)
-
-
-def q_conv_text_digest_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical (block-parallel) digest — the hot-conversation-proof
-    form of the per-turn-equality invariant. block=8 so sf0.001 convs
-    span several blocks."""
-    from opentelemetry_collector_contrib_spark.plans import ordering
-
-    turns = src.transcripts_df(spark, sf_dir)
-    return ordering.conv_text_digest_hier(turns, block=8)
+    flat = ordering.conv_text_digest(turns)
+    hier = ordering.conv_text_digest_hier(turns, block=8).select(
+        "conv_id", F.col("digest").alias("digest_hier")
+    )
+    return flat.join(hier, "conv_id")
 
 
 def q_salted_count_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,23 +695,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lang_id(docs).select("doc_id", "lang", "pred_lang")
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docsrc.documents_df(spark, sf_dir)
-    return tx.quality_score(docs).select(
-        "doc_id", "length_ok", "alpha_ratio", "stop_sig", "word_len_ok", "quality"
-    )
 
-
-def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docsrc.documents_df(spark, sf_dir)
-    return tx.bpe_ish_count(tx.token_count(docs)).select(
-        "doc_id", "n_tokens", "n_bpe"
-    )
-
-
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docsrc.documents_df(spark, sf_dir)
-    return tx.doc_fingerprint(docs, w=5).select("doc_id", "fingerprint", "exact_hash")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,16 +704,187 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "kind", "n_bytes", "frame_count")
 
 
+def q_trace_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trace_parser (operator/helper/trace.go): hex ids -> bytes. Ids
+    synthesized deterministically (md5 of conv_id = 16-byte trace id,
+    its first 8 bytes = span id)."""
+    turns = src.transcripts_df(spark, sf_dir)
+    with_hex = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.md5(F.col("conv_id")).alias("trace_id_hex"),
+        F.substring(F.md5(F.col("conv_id")), 1, 16).alias("span_id_hex"),
+    )
+    out = parsers.trace_parse(
+        with_hex, trace_field="trace_id_hex", span_field="span_id_hex"
+    )
+    return out.select("conv_id", "turn_idx", "trace_id", "span_id")
+
+
+def q_otlpjson_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OTLP-JSON logs envelope round-trip
+    (connector/otlpjsonconnector/connector_logs.go; fixture shape in
+    testdata/logsToLogs/input-log.yaml): transcripts are packed into
+    resourceLogs[].scopeLogs[].logRecords[] envelopes (one per
+    conversation), then parsed back through the explicit nested schema +
+    explodes. The flattened records must equal the flat origin — the
+    strongest evidence the envelope parse is lossless."""
+    turns = src.transcripts_df(spark, sf_dir)
+    rec = F.struct(
+        F.lpad(F.col("turn_idx").cast("string"), 6, "0").alias("timeUnixNano"),
+        F.lit("INFO").alias("severityText"),
+        F.struct(F.col("text").alias("stringValue")).alias("body"),
+        F.array(
+            F.struct(
+                F.lit("turn_idx").alias("key"),
+                F.struct(F.col("turn_idx").cast("string").alias("stringValue")).alias(
+                    "value"
+                ),
+            ),
+            F.struct(
+                F.lit("role").alias("key"),
+                F.struct(F.col("role").alias("stringValue")).alias("value"),
+            ),
+        ).alias("attributes"),
+    )
+    env = (
+        turns.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list(rec)).alias("logRecords"))
+        .select(
+            "conv_id",
+            F.to_json(
+                F.struct(
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.array(
+                                    F.struct(
+                                        F.lit("conv.id").alias("key"),
+                                        F.struct(
+                                            F.col("conv_id").alias("stringValue")
+                                        ).alias("value"),
+                                    )
+                                ).alias("attributes")
+                            ).alias("resource"),
+                            F.array(
+                                F.struct(
+                                    F.struct(
+                                        F.lit("transcripts").alias("name"),
+                                        F.lit("1").alias("version"),
+                                    ).alias("scope"),
+                                    F.col("logRecords").alias("logRecords"),
+                                )
+                            ).alias("scopeLogs"),
+                        )
+                    ).alias("resourceLogs")
+                )
+            ).alias("text"),
+        )
+    )
+    out = parsers.otlp_json_parse(env.select("text"))
+    return out.select(
+        F.col("resource_attrs")["conv.id"].alias("conv_id"),
+        F.col("attributes")["turn_idx"].cast("int").alias("turn_idx"),
+        F.col("attributes")["role"].alias("role"),
+        F.col("body").alias("text"),
+        "severity_text",
+        "scope_name",
+        "scope_version",
+    )
+
+
+#: ottl_extended statement corpus — the round-2 converter/editor tail
+#: (ottlfuncs func_duration/weekday/formattime/to_key_value_string/
+#: slice_to_map/delete_matching_keys/flatten/limit), each surfaced as a
+#: string/number column both engines can mirror
+_OTTL_EXT_STATEMENTS = [
+    'set(dur_ns, Duration(durline))',
+    'set(dur_min, Minutes(Duration(durline)))',
+    'set(wd, Weekday(ts))',
+    'set(fmtd, FormatTime(ts, "%Y/%m/%d %H:%M"))',
+    'set(kvmap, ParseKeyValue(kvline))',
+    'delete_matching_keys(kvmap, "^drop")',
+    'limit(kvmap, 2, ["ck"])',
+    'set(kv_str, ToKeyValueString(kvmap, "=", " ", true))',
+    'set(s2m_str, ToKeyValueString(SliceToMap(arr, "name", "v"), "=", " ", true))',
+    'flatten(nested, "pre")',
+    'set(nested_str, ToKeyValueString(nested, "=", " ", true))',
+    'set(xmlp, ParseXML(xmlline))',
+    'set(csvmap_str, ToKeyValueString(ParseCSV(csvline, "h1,h2"), "=", " ", true))',
+]
+
+
+def q_ottl_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_contrib_spark.operators import ottl
+
+    turns = src.transcripts_df(spark, sf_dir)
+    base = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts",
+        F.concat(
+            (F.col("turn_idx") % 3).cast("string"),
+            F.lit("h"),
+            (F.col("turn_idx") % 60).cast("string"),
+            F.lit("m"),
+        ).alias("durline"),
+        F.concat(
+            F.lit("ak="), F.col("role"),
+            F.lit(" ck=keep dropme=x bk="), (F.col("turn_idx") % 5).cast("string"),
+        ).alias("kvline"),
+        F.array(
+            F.create_map(F.lit("name"), F.lit("n1"), F.lit("v"), F.col("role")),
+            F.create_map(
+                F.lit("name"), F.lit("n2"), F.lit("v"),
+                (F.col("turn_idx") % 9).cast("string"),
+            ),
+        ).alias("arr"),
+        F.create_map(
+            F.lit("outer"),
+            F.create_map(F.lit("in1"), F.col("role"), F.lit("in2"), F.lit("z")),
+        ).alias("nested"),
+        F.concat(
+            F.lit('<r a="1"><t>'), F.col("role"), F.lit("</t></r>")
+        ).alias("xmlline"),
+        F.concat(F.col("role"), F.lit(',"x,'), (F.col("turn_idx") % 4).cast("string"),
+                 F.lit('"')).alias("csvline"),
+    )
+    out = ottl.apply_statements(base, _OTTL_EXT_STATEMENTS)
+    return out.select(
+        "conv_id", "turn_idx", "dur_ns", "dur_min", "wd", "fmtd",
+        "kv_str", "s2m_str", "nested_str", "xmlp", "csvmap_str",
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text-analysis stage: quality scoring + token counting +
+    rolling-hash fingerprint in ONE narrow projection (one scan — how a
+    corpus-prep pipeline actually runs them)."""
+    docs = docsrc.documents_df(spark, sf_dir)
+    out = tx.quality_score(docs)
+    out = tx.bpe_ish_count(tx.token_count(out))
+    out = tx.doc_fingerprint(out, w=5)
+    return out.select(
+        "doc_id", "length_ok", "alpha_ratio", "stop_sig", "word_len_ok",
+        "quality", "n_tokens", "n_bpe", "fingerprint", "exact_hash",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Exactly 50 entries — the driver checks the first 50 queries, and
+    # every operator here must get a CORRECTNESS row. Twin variants that
+    # are pytest-proven equal (parse_regex_arrow, the single-purpose
+    # redaction/enrich/time/digest sub-cases) are FOLDED into composite
+    # queries rather than occupying slots.
     return {
         "parse_regex": q_parse_regex,
-        "parse_regex_arrow": q_parse_regex_arrow,
         "parse_on_error_drop": q_parse_drop,
         "kv_parse": q_kv_parse,
         "severity_parse": q_severity,
         "time_parse": q_time_parse,
+        "trace_parse": q_trace_parse,
         "enrich_broadcast": q_enrich,
-        "enrich_insert_if_absent": q_enrich_insert_if_absent,
         "route_per_sink_counts": q_route_per_sink_counts,
         "routed_rows": q_routed_rows,
         "count_by_tool_role": q_count_by_tool_role,
@@ -707,12 +898,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redaction": q_redaction,
         "ottl_transform": q_ottl_transform,
         "conv_text_digest": q_conv_text_digest,
-        "conv_text_digest_hier": q_conv_text_digest_hier,
         "salted_count_by_role": q_salted_count_by_role,
         "jsonarray_parse": q_jsonarray_parse,
         "flatten_retain": q_flatten_retain,
         "assign_keys": q_assign_keys,
-        "redaction_allowed_keys": q_redaction_allowed_keys,
         "resource_detection": q_resource_detection,
         "log_dedup_exclude": q_log_dedup_exclude,
         "syslog_rfc5424": q_syslog_rfc5424,
@@ -722,11 +911,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_parse": q_json_parse,
         "csv_parse": q_csv_parse,
         "uri_parse": q_uri_parse,
-        "time_epoch_roundtrip": q_time_epoch_roundtrip,
         "transformer_suite": q_transformer_suite,
         "attr_insert_update_delete": q_attr_insert_update_delete,
         "filter_processor_multi": q_filter_processor_multi,
         "otlpjson_connector": q_otlpjson_connector,
+        "otlpjson_envelope": q_otlpjson_envelope,
+        "ottl_extended": q_ottl_extended,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -736,9 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "corpus_clean": q_corpus_clean,
         "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "text_token_stats": q_text_token_stats,
-        "text_fingerprint": q_text_fingerprint,
+        "text_stats": q_text_stats,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -909,7 +1097,6 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "parse_regex": f"{_T}, {_PARSED_CTE} {parse_select}",
-        "parse_regex_arrow": f"{_T}, {_PARSED_CTE} {parse_select}",
         "parse_on_error_drop": f"{_T}, {_PARSED_CTE} "
         "SELECT conv_id, turn_idx, level, msg FROM parsed WHERE parse_ok",
         "kv_parse": f"{_T}, {_PARSED_CTE} "
@@ -919,18 +1106,29 @@ def oracle_sql() -> dict[str, str]:
         "FROM parsed",
         "severity_parse": f"{_T}, {_PARSED_CTE} "
         f"SELECT conv_id, turn_idx, upper(level) AS severity_text, "
-        f"coalesce(CASE upper(level) {_SEV_CASE} END, 0) AS severity_num FROM parsed",
+        f"coalesce(CASE upper(level) {_SEV_CASE} END, 0) AS severity_num, "
+        "CASE WHEN (turn_idx % 400) + 200 < 300 THEN 9 "
+        "WHEN (turn_idx % 400) + 200 < 400 THEN 15 "
+        "WHEN (turn_idx % 400) + 200 < 500 THEN 17 ELSE 21 END AS custom_num, "
+        "CASE WHEN (turn_idx % 400) + 200 < 300 THEN 'INFO' "
+        "WHEN (turn_idx % 400) + 200 < 400 THEN 'WARN3' "
+        "WHEN (turn_idx % 400) + 200 < 500 THEN 'ERROR' ELSE 'FATAL' END "
+        "AS custom_text FROM parsed",
         "time_parse": f"{_T}, {_PARSED_CTE} "
         "SELECT conv_id, turn_idx, "
         "CASE WHEN ts_raw IS NOT NULL THEN "
-        "cast(replace(replace(ts_raw, 'T', ' '), 'Z', '') AS timestamp) END AS event_ts "
+        "cast(replace(replace(ts_raw, 'T', ' '), 'Z', '') AS timestamp) END AS event_ts, "
+        "CASE WHEN ts_raw IS NOT NULL THEN "
+        "cast(replace(replace(ts_raw, 'T', ' '), 'Z', '') AS timestamp) END AS gotime_ts, "
+        "date_trunc('milliseconds', ts) AS epoch_ts "
         "FROM parsed",
+        "trace_parse": f"{_T} "
+        "SELECT conv_id, turn_idx, unhex(md5(conv_id)) AS trace_id, "
+        "unhex(substr(md5(conv_id), 1, 16)) AS span_id FROM transcripts",
         "enrich_broadcast": f"{_TD}, {_PARSED_CTE}, {_ENRICHED_CTE} "
-        "SELECT conv_id, turn_idx, team, env, region, tool_family, risk_tier FROM enriched",
-        "enrich_insert_if_absent": f"{_TD}, {_PARSED_CTE} "
-        "SELECT p.conv_id, p.turn_idx, "
-        "coalesce(CASE WHEN p.role = 'system' THEN 'forced-env' END, cd.env) AS env "
-        "FROM parsed p LEFT JOIN conv_dim cd ON p.conv_id = cd.conv_id",
+        "SELECT conv_id, turn_idx, team, "
+        "coalesce(CASE WHEN role = 'system' THEN 'forced-env' END, env) AS env, "
+        "region, tool_family, risk_tier FROM enriched",
         "route_per_sink_counts": f"{_TD}, {_PARSED_CTE}, {_ENRICHED_CTE}, {_TAGGED_CTE}, {_ROUTED_CTE} "
         "SELECT sink, count(*) AS n FROM routed GROUP BY sink ORDER BY sink",
         "routed_rows": f"{_TD}, {_PARSED_CTE}, {_ENRICHED_CTE}, {_TAGGED_CTE}, {_ROUTED_CTE} "
@@ -972,16 +1170,19 @@ def oracle_sql() -> dict[str, str]:
         "THEN regexp_extract(component, '^svc-([0-9]+)$', 1) END AS bigint) AS svc_num "
         "FROM parsed",
         "redaction": f"{_T} "
-        "SELECT conv_id, turn_idx, regexp_replace(text, 'user=[0-9]+', '****', 'g') "
-        "AS redacted FROM transcripts",
+        "SELECT conv_id, turn_idx, role, "
+        "regexp_replace(text, 'user=[0-9]+', '****', 'g') AS redacted, "
+        "CASE WHEN regexp_matches(text, 'user=[0-9]+') THEN 1 ELSE 0 END "
+        "AS masked_count, "
+        "CASE WHEN regexp_matches(text, 'user=[0-9]+') THEN 'text' ELSE '' END "
+        "AS masked_keys, "
+        "2 AS redacted_count, 'tool,ts' AS redacted_keys FROM transcripts",
         "jsonarray_parse": f"{_T} "
         "SELECT conv_id, turn_idx, role AS e1, tool AS e2 FROM transcripts",
         "flatten_retain": f"{_T} "
         "SELECT conv_id, turn_idx, role, tool FROM transcripts",
         "assign_keys": f"{_T} "
         "SELECT conv_id, turn_idx, role AS v_role, tool AS v_tool FROM transcripts",
-        "redaction_allowed_keys": f"{_T} "
-        "SELECT conv_id, turn_idx, role FROM transcripts",
         "resource_detection": f"{_T} "
         "SELECT conv_id, turn_idx, 'linux' AS os_type, 'none' AS cloud_provider, "
         "CASE WHEN role = 'system' THEN 'pinned-host' ELSE 'spark-node' END "
@@ -1043,12 +1244,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, turn_idx, TRUE AS parse_ok, "
         "cast(json_extract(text, '$.a') AS bigint) AS a, "
         "json_extract_string(text, '$.b') AS b FROM lines",
-        "csv_parse": f"{_T}, "
-        f"lines AS (SELECT conv_id, turn_idx, {_CSV_LINE} AS text FROM transcripts) "
+        # expected CSV fields computed from the ORIGIN columns — the
+        # quoted-field/short-row/trailing-empty semantics under test
+        # can't be mirrored by split_part, which is the point
+        "csv_parse": f"{_T} "
         "SELECT conv_id, turn_idx, "
-        "len(string_split(text, ',')) >= 3 AS parse_ok, "
-        "split_part(text, ',', 1) AS c_role, split_part(text, ',', 2) AS c_tool, "
-        "split_part(text, ',', 3) AS c_idx FROM lines",
+        "turn_idx % 7 <> 0 AS parse_ok, "
+        "role AS c_role, "
+        "CASE WHEN turn_idx % 7 = 0 THEN NULL ELSE tool || ',q' END AS c_tool, "
+        "CASE WHEN turn_idx % 7 = 0 THEN NULL WHEN turn_idx % 7 = 3 THEN '' "
+        "ELSE cast(turn_idx AS string) END AS c_idx FROM transcripts",
         "uri_parse": f"{_T}, "
         f"lines AS (SELECT conv_id, turn_idx, {_URI_LINE} AS uri FROM transcripts) "
         "SELECT conv_id, turn_idx, "
@@ -1056,8 +1261,6 @@ def oracle_sql() -> dict[str, str]:
         "regexp_extract(uri, '^[a-z]+://([^/?#]+)', 1) AS host, "
         "regexp_extract(uri, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path, "
         "regexp_extract(uri, '\\?([^#]*)', 1) AS query FROM lines",
-        "time_epoch_roundtrip": f"{_T} "
-        "SELECT conv_id, turn_idx, date_trunc('milliseconds', ts) AS event_ts FROM transcripts",
         "transformer_suite": f"{_T} "
         "SELECT conv_id, turn_idx, 'logs' AS pipeline, "
         "CASE WHEN role = 'system' THEN 'sys' END AS env_kind, "
@@ -1073,17 +1276,38 @@ def oracle_sql() -> dict[str, str]:
         "otlpjson_connector": f"{_T} "
         "SELECT conv_id, turn_idx, role AS body, 'INFO' AS severityText, "
         "tool AS attr_tool FROM transcripts",
-        "conv_text_digest": f"{_T} "
-        "SELECT conv_id, count(*) AS n_turns, "
+        # envelope round-trip: packing + parsing must be lossless, so the
+        # expected rows are simply the flat origin plus the constant
+        # resource/scope metadata the packer stamps
+        "otlpjson_envelope": f"{_T} "
+        "SELECT conv_id, turn_idx, role, text, 'INFO' AS severity_text, "
+        "'transcripts' AS scope_name, '1' AS scope_version FROM transcripts",
+        "ottl_extended": f"{_T} "
+        "SELECT conv_id, turn_idx, "
+        "cast((turn_idx % 3) * 3600000000000 + (turn_idx % 60) * 60000000000 "
+        "AS bigint) AS dur_ns, "
+        "cast((turn_idx % 3) * 60 + (turn_idx % 60) AS double) AS dur_min, "
+        "cast(dayofweek(ts) AS bigint) AS wd, "
+        "strftime(ts, '%Y/%m/%d %H:%M') AS fmtd, "
+        "'ak=' || role || ' ck=keep' AS kv_str, "
+        "'n1=' || role || ' n2=' || cast(turn_idx % 9 AS string) AS s2m_str, "
+        "'pre.outer.in1=' || role || ' pre.outer.in2=z' AS nested_str, "
+        "'{\"attributes\":{\"a\":\"1\"},\"children\":[{\"content\":\"' || role || "
+        "'\",\"tag\":\"t\"}],\"tag\":\"r\"}' AS xmlp, "
+        "'h1=' || role || ' h2=x,' || cast(turn_idx % 4 AS string) AS csvmap_str "
+        "FROM transcripts",
+        "conv_text_digest": f"{_T}, "
+        "flat AS (SELECT conv_id, count(*) AS n_turns, "
         "md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS digest "
-        "FROM transcripts GROUP BY conv_id",
-        "conv_text_digest_hier": f"{_T}, "
+        "FROM transcripts GROUP BY conv_id), "
         "sub AS (SELECT conv_id, cast(floor(turn_idx / 8) AS bigint) AS blk, "
-        "md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS subd, count(*) AS n "
-        "FROM transcripts GROUP BY 1, 2) "
-        "SELECT conv_id, cast(sum(n) AS bigint) AS n_turns, "
-        "md5(string_agg(subd, chr(10) ORDER BY blk)) AS digest "
-        "FROM sub GROUP BY conv_id",
+        "md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS subd "
+        "FROM transcripts GROUP BY 1, 2), "
+        "hier AS (SELECT conv_id, "
+        "md5(string_agg(subd, chr(10) ORDER BY blk)) AS digest_hier "
+        "FROM sub GROUP BY conv_id) "
+        "SELECT f.conv_id, f.n_turns, f.digest, h.digest_hier "
+        "FROM flat f JOIN hier h ON f.conv_id = h.conv_id",
         "salted_count_by_role": f"{_T} "
         "SELECT role, count(*) AS n FROM transcripts GROUP BY role",
         "ottl_transform": f"{_T} "
@@ -1144,26 +1368,22 @@ def oracle_sql() -> dict[str, str]:
             + " FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id) "
             f"SELECT doc_id, lang, {_LANG_CASE} AS pred_lang FROM hits"
         ),
-        "text_quality": (
+        "text_stats": (
             f"WITH {_TOKS_CTE}, "
             + _QUALITY_EXPRS.format(h_en=_HITS["en"].replace("(t,", "(tk.t,"))
-            + " SELECT doc_id, length_ok, alpha_ratio, stop_sig, word_len_ok, "
-            "0.25*length_ok + 0.25*alpha_ratio + 0.25*stop_sig + 0.25*word_len_ok "
-            "AS quality FROM comp"
-        ),
-        "text_token_stats": (
-            "SELECT doc_id, "
-            "cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS int) AS n_tokens, "
-            "cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS int) "
-            "AS n_bpe FROM documents"
-        ),
-        "text_fingerprint": (
-            f"WITH {_TOKS_CTE} "
-            "SELECT d.doc_id, "
+            + " SELECT c.doc_id, c.length_ok, c.alpha_ratio, c.stop_sig, "
+            "c.word_len_ok, "
+            "0.25*c.length_ok + 0.25*c.alpha_ratio + 0.25*c.stop_sig + "
+            "0.25*c.word_len_ok AS quality, "
+            "cast(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS int) "
+            "AS n_tokens, "
+            "cast(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) "
+            "AS int) AS n_bpe, "
             "list_min(list_transform(generate_series(1, greatest(len(tk.t) - 4, 1)), "
             "i -> md5(array_to_string(tk.t[i:i+4], ' ')))) AS fingerprint, "
             "md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS exact_hash "
-            "FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id"
+            "FROM comp c JOIN documents d ON c.doc_id = d.doc_id "
+            "JOIN toks tk ON c.doc_id = tk.doc_id"
         ),
         "multimodal_features": (
             "SELECT doc_id, "

@@ -145,6 +145,7 @@ def write_routed(
     fmt: str = "parquet",
     files_per_sink: int | None = None,
     salt_col: str = "conv_id",
+    compression: str | None = None,
 ) -> dict[str, str]:
     """Exporter stage: one partitioned write fans rows out to per-sink
     tables (fileexporter group_by semantics,
@@ -167,7 +168,12 @@ def write_routed(
             files_per_sink * n_sinks, F.col("sink"), salt
         )
     path = f"{base_path.rstrip('/')}/routed"
-    routed.write.mode("overwrite").partitionBy("sink").format(fmt).save(path)
+    writer = routed.write.mode("overwrite").partitionBy("sink").format(fmt)
+    if compression is not None:
+        # fileexporter compression passthrough (exporter/fileexporter/
+        # config.go:22-52): codec applies per output file
+        writer = writer.option("compression", compression)
+    writer.save(path)
     sinks = sorted({s for v in sink_map.values() for s in v})
     return {s: f"{path}/sink={s}" for s in sinks}
 

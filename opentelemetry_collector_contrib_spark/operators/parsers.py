@@ -48,7 +48,11 @@ __all__ = [
     "trace_parse",
     "syslog_parse",
     "container_parse",
+    "otlp_json_parse",
     "validate_regex_config",
+    "strptime_to_java",
+    "gotime_to_java",
+    "OTLP_LOGS_SCHEMA",
 ]
 
 
@@ -178,13 +182,46 @@ def csv_parse(
     *,
     parse_from: str = "text",
     delimiter: str = ",",
+    lazy_quotes: bool = True,
 ) -> DataFrame:
-    """csv_parser (operator/parser/csv/): delimited fields -> named cols."""
-    parts = F.split(F.col(parse_from), re.escape(delimiter))
-    return df.select(
-        "*",
-        (F.size(parts) >= len(header)).alias("parse_ok"),
-        *[F.element_at(parts, i + 1).alias(h) for i, h in enumerate(header)],
+    """csv_parser (operator/parser/csv/parser.go): delimited fields ->
+    named cols, via the JVM CSV parser (``from_csv``) so QUOTED fields —
+    including embedded delimiters, escaped quotes, and quoted empty
+    strings — parse like encoding/csv, not like a bare split.
+
+    ``lazy_quotes`` mirrors the reference's LazyQuotes knob
+    (csv/config.go): a bare quote inside an unquoted field is literal
+    (univocity handles this by default).
+
+    Field-count semantics: Go's csv.Reader errors when a row has too few
+    fields (-> on_error channel). ``from_csv`` leaves missing trailing
+    fields null, so parse_ok = all fields present — with one refinement:
+    a line ENDING in the delimiter is a valid trailing empty field
+    (encoding/csv agrees), surfaced as '' rather than a parse failure."""
+    del lazy_quotes  # accepted for config parity; default behavior already lazy
+    schema = ", ".join(f"`{h}` STRING" for h in header)
+    # nullValue sentinel keeps quoted-empty fields as '' (otherwise the
+    # CSV reader conflates them with missing fields)
+    parsed_col = F.from_csv(
+        F.col(parse_from), schema, {"sep": delimiter, "nullValue": "\x01"}
+    )
+    tmp = "_csv"
+    out = df.withColumn(tmp, parsed_col)
+    fields = [F.col(f"{tmp}.{h}") for h in header]
+    ok_all = fields[0].isNotNull()
+    for f in fields[1:]:
+        ok_all = ok_all & f.isNotNull()
+    ok_trailing = (
+        F.col(parse_from).endswith(delimiter) & fields[-1].isNull()
+    )
+    for f in fields[:-1]:
+        ok_trailing = ok_trailing & f.isNotNull()
+    last = F.when(ok_trailing, F.lit("")).otherwise(fields[-1])
+    return out.select(
+        *df.columns,
+        (ok_all | ok_trailing).alias("parse_ok"),
+        *[fields[i].alias(h) for i, h in enumerate(header[:-1])],
+        last.alias(header[-1]),
     )
 
 
@@ -215,12 +252,32 @@ def uri_parse(df: DataFrame, *, parse_from: str = "uri") -> DataFrame:
     )
 
 
-def severity_parse(df: DataFrame, *, parse_from: str = "level") -> DataFrame:
+def severity_parse(
+    df: DataFrame,
+    *,
+    parse_from: str = "level",
+    mapping: dict[str, list] | None = None,
+    overwrite_text: bool = False,
+) -> DataFrame:
     """severity_parser (operator/helper/severity.go:23-33): raw string ->
-    24-level enum number + canonical text. Pure literal-map lookup."""
-    return df.withColumn("severity_num", severity_num_col(parse_from)).withColumn(
-        "severity_text", F.upper(F.col(parse_from))
-    )
+    24-level enum number + canonical text. Pure literal-map lookup.
+
+    ``mapping`` adds user-defined values/ranges (severity_builder.go:
+    113-165); ``overwrite_text`` replaces the text with the canonical
+    enum name of the resolved number (SeverityConfig.OverwriteText)."""
+    from ..schema import SEVERITY_TEXT_TO_NUM
+
+    num = severity_num_col(parse_from, mapping=mapping)
+    out = df.withColumn("severity_num", num)
+    if overwrite_text:
+        pairs: list = []
+        for k, v in SEVERITY_TEXT_TO_NUM.items():
+            pairs += [F.lit(v), F.lit(k)]
+        rev = F.create_map(*pairs)
+        text = F.coalesce(rev[F.col("severity_num")], F.lit("DEFAULT"))
+    else:
+        text = F.upper(F.col(parse_from))
+    return out.withColumn("severity_text", text)
 
 
 # strptime -> Java DateTimeFormatter directive translation
@@ -248,6 +305,60 @@ def strptime_to_java(layout: str) -> str:
     return "".join(out)
 
 
+# Go reference-time layout tokens -> Java DateTimeFormatter, ordered
+# longest-first so e.g. "2006" wins over "06" and "Jan" over "1"
+# (operator/helper/time.go:19-26 names gotime as a first-class layout
+# type; the magic tokens are Go's time.Layout reference date)
+_GOTIME_TO_JAVA = [
+    ("2006", "yyyy"),
+    ("January", "MMMM"),
+    ("Monday", "EEEE"),
+    (".000000000", ".SSSSSSSSS"),
+    (".000000", ".SSSSSS"),
+    (".000", ".SSS"),
+    ("Z07:00", "XXX"),
+    ("Z0700", "XX"),
+    ("-07:00", "XXX"),
+    ("-0700", "XX"),
+    ("-07", "X"),
+    ("Jan", "MMM"),
+    ("Mon", "EEE"),
+    ("MST", "zzz"),
+    ("15", "HH"),
+    ("01", "MM"),
+    ("02", "dd"),
+    ("03", "hh"),
+    ("04", "mm"),
+    ("05", "ss"),
+    ("06", "yy"),
+    ("PM", "a"),
+    ("pm", "a"),
+    ("_2", "d"),
+    ("1", "M"),
+    ("2", "d"),
+    ("3", "h"),
+    ("4", "m"),
+    ("5", "s"),
+]
+
+
+def gotime_to_java(layout: str) -> str:
+    """Translate a Go time.Parse layout (e.g. ``2006-01-02 15:04:05``)
+    to a Java DateTimeFormatter pattern, once, on the driver."""
+    out, i = [], 0
+    while i < len(layout):
+        for tok, java in _GOTIME_TO_JAVA:
+            if layout.startswith(tok, i):
+                out.append(java)
+                i += len(tok)
+                break
+        else:
+            ch = layout[i]
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
 def time_parse(
     df: DataFrame,
     *,
@@ -256,12 +367,15 @@ def time_parse(
     layout_type: str = "strptime",
     out: str = "event_ts",
 ) -> DataFrame:
-    """time_parser (operator/helper/time.go:54-75): strptime/epoch layouts.
+    """time_parser (operator/helper/time.go:54-75): strptime / gotime /
+    epoch layouts.
 
-    strptime directives are translated to a Java format once on the driver;
-    parsing itself is the JVM ``to_timestamp``.
+    strptime and gotime layouts are translated to a Java format once on
+    the driver; parsing itself is the JVM ``to_timestamp``.
     """
     src = F.col(parse_from)
+    if layout_type == "gotime":
+        return df.withColumn(out, F.to_timestamp(src, gotime_to_java(layout)))
     if layout_type == "epoch":
         unit = layout  # s | ms | us | ns
         div = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
@@ -323,6 +437,91 @@ def syslog_parse(
         out.withColumn("facility", F.floor(pri / 8).cast("int"))
         .withColumn("severity", pri % 8)
         .drop("pri_raw")
+    )
+
+
+# --------------------------------------------------------------------------
+# OTLP-JSON logs envelope (connector/otlpjsonconnector/connector_logs.go:
+# the connector unmarshals full plog JSON — resourceLogs[].scopeLogs[].
+# logRecords[] — and re-emits per-signal records; fixture shape in
+# connector/otlpjsonconnector/testdata/logsToLogs/input-log.yaml)
+# --------------------------------------------------------------------------
+
+#: OTLP/JSON AnyValue carries one of these representations; ints arrive
+#: as JSON strings per the protobuf JSON mapping
+_OTLP_ANYVALUE = "STRUCT<stringValue: STRING, intValue: STRING, boolValue: BOOLEAN, doubleValue: DOUBLE>"
+_OTLP_KV = f"ARRAY<STRUCT<key: STRING, value: {_OTLP_ANYVALUE}>>"
+
+OTLP_LOGS_SCHEMA = f"""
+resourceLogs ARRAY<STRUCT<
+  resource: STRUCT<attributes: {_OTLP_KV}>,
+  scopeLogs: ARRAY<STRUCT<
+    scope: STRUCT<name: STRING, version: STRING>,
+    logRecords: ARRAY<STRUCT<
+      timeUnixNano: STRING,
+      observedTimeUnixNano: STRING,
+      severityNumber: INT,
+      severityText: STRING,
+      body: STRUCT<stringValue: STRING>,
+      attributes: {_OTLP_KV},
+      droppedAttributesCount: INT,
+      traceId: STRING,
+      spanId: STRING
+    >>
+  >>
+>>
+"""
+
+
+def _otlp_attrs_map(attrs: Column) -> Column:
+    """OTLP key/value attribute list -> map<string,string> (AnyValue
+    variants coalesced to their string form, as pcommon AsString does)."""
+    return F.map_from_entries(
+        F.transform(
+            attrs,
+            lambda a: F.struct(
+                a["key"].alias("key"),
+                F.coalesce(
+                    a["value"]["stringValue"],
+                    a["value"]["intValue"],
+                    a["value"]["boolValue"].cast("string"),
+                    a["value"]["doubleValue"].cast("string"),
+                ).alias("value"),
+            ),
+        )
+    )
+
+
+def otlp_json_parse(df: DataFrame, *, parse_from: str = "text") -> DataFrame:
+    """Parse full OTLP-JSON log envelopes into one row per logRecord.
+
+    Spark-first: one ``from_json`` with the explicit nested schema, then
+    three generator explodes — all JVM-side; resource/scope attributes
+    flatten onto each record exactly as the collector's
+    ``plog.JSONUnmarshaler`` + per-record iteration does
+    (connector_logs.go logsToLogs loop). Invalid JSON -> parse_ok=false
+    rows with null fields (the connector's error channel analog)."""
+    env = F.from_json(F.col(parse_from), OTLP_LOGS_SCHEMA)
+    out = (
+        df.withColumn("_env", env)
+        .withColumn("parse_ok", env["resourceLogs"].isNotNull())
+        .withColumn("_rl", F.explode_outer(env["resourceLogs"]))
+        .withColumn("_sl", F.explode_outer(F.col("_rl.scopeLogs")))
+        .withColumn("_lr", F.explode_outer(F.col("_sl.logRecords")))
+    )
+    return out.select(
+        *df.columns,
+        "parse_ok",
+        _otlp_attrs_map(F.col("_rl.resource.attributes")).alias("resource_attrs"),
+        F.col("_sl.scope.name").alias("scope_name"),
+        F.col("_sl.scope.version").alias("scope_version"),
+        F.col("_lr.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.col("_lr.severityNumber").alias("severity_number"),
+        F.col("_lr.severityText").alias("severity_text"),
+        F.col("_lr.body.stringValue").alias("body"),
+        _otlp_attrs_map(F.col("_lr.attributes")).alias("attributes"),
+        F.col("_lr.traceId").alias("trace_id_hex"),
+        F.col("_lr.spanId").alias("span_id_hex"),
     )
 
 

@@ -209,17 +209,59 @@ def redact(
     allowed_keys: list[str] | None = None,
     mask_patterns: dict[str, str] | None = None,
     mask_cols: list[str] | None = None,
+    summary: str | None = None,
 ) -> DataFrame:
     """redactionprocessor (processor/redactionprocessor/processor.go:29-47):
     drop non-allowed attribute columns; mask values matching deny regexes
-    with ``****`` (blocked-value masking, processor.go:193+)."""
+    with ``****`` (blocked-value masking, processor.go:193+).
+
+    ``summary`` attaches the processor's summary attributes
+    (processor.go:320-340): ``redaction.masked.count``/``.keys`` for
+    values actually changed by masking (per row), and
+    ``redaction.redacted.count``/``.keys`` for dropped columns (static
+    per config in the promoted-column model). "debug" emits keys and
+    counts, "info" counts only — all computed in the same projection,
+    no extra pass."""
     out = df
+    redacted_cols: list[str] = []
     if allowed_keys is not None:
+        redacted_cols = sorted(c for c in out.columns if c not in allowed_keys)
         out = out.select(*[c for c in out.columns if c in allowed_keys])
+    flags: list[tuple[str, F.Column]] = []
+    masked_exprs: dict[str, F.Column] = {}
     if mask_patterns:
-        for col in mask_cols or [c for c, _ in out.dtypes if _ == "string"]:
-            v = F.col(col)
+        targets = mask_cols or [c for c, t in out.dtypes if t == "string"]
+        for col in targets:
+            orig = F.col(col)
+            v = orig
             for _name, pat in mask_patterns.items():
                 v = F.regexp_replace(v, pat, "****")
-            out = out.withColumn(col, v)
+            masked_exprs[col] = v
+            flags.append((col, orig.isNotNull() & (v != orig)))
+    # summary columns MUST be computed in the same projection as the
+    # masking (the flags compare original vs masked values)
+    extra: list[F.Column] = []
+    if summary in ("debug", "info"):
+        masked_count = (
+            sum((f.cast("int") for _, f in flags), F.lit(0)) if flags else F.lit(0)
+        )
+        extra.append(masked_count.alias("redaction.masked.count"))
+        extra.append(F.lit(len(redacted_cols)).alias("redaction.redacted.count"))
+        if summary == "debug":
+            masked_keys = (
+                F.concat_ws(
+                    ",",
+                    *[F.when(f, F.lit(name)) for name, f in sorted(flags, key=lambda x: x[0])],
+                )
+                if flags
+                else F.lit("")
+            )
+            extra.append(masked_keys.alias("redaction.masked.keys"))
+            extra.append(
+                F.lit(",".join(redacted_cols)).alias("redaction.redacted.keys")
+            )
+    if masked_exprs or extra:
+        out = out.select(
+            *[masked_exprs.get(c, F.col(c)).alias(c) for c in out.columns], *extra
+        )
     return out

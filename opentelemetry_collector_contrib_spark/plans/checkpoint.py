@@ -41,7 +41,12 @@ def write_stage(
     if with_lineage:
         from .lineage import partition_metrics
 
-        partition_metrics(df, stage, error_col=error_col).write.mode(
+        # metrics come from re-reading the parquet just written: one
+        # cheap column-pruned scan whose partition ids correspond to the
+        # STORED files — recomputing from `df` would re-execute the full
+        # upstream DAG and report ids of a plan that never materialized
+        stored = df.sparkSession.read.parquet(path)
+        partition_metrics(stored, stage, error_col=error_col).write.mode(
             "overwrite"
         ).parquet(os.path.join(base, f"{stage}._lineage"))
     with open(os.path.join(path, MARKER), "w") as f:

@@ -43,7 +43,7 @@ def partition_metrics(df: DataFrame, stage: str, *, error_col: str | None = None
     (SURVEY.md §4 item 4). A narrow groupBy on spark_partition_id (at
     most one output row per partition, map-side combined); written
     alongside checkpoints by ``checkpoint.write_stage(...,
-    lineage_stage=...)`` so a resumed run can audit exactly what each
+    with_lineage=True)`` so a resumed run can audit exactly what each
     partition contributed."""
     errors = (
         F.sum(F.col(error_col).cast("long")) if error_col else F.lit(0).cast("long")

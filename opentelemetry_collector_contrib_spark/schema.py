@@ -57,15 +57,61 @@ SEVERITY_ALIASES = {
 }
 
 
-def severity_num_col(text_col: str = "level") -> F.Column:
-    """Severity text -> number as a literal map lookup (no shuffle, no UDF)."""
+#: "2xx".."5xx" special range keys (severity_builder.go HTTP2xx..HTTP5xx)
+_HTTP_RANGES = {f"{d}xx": (d * 100, d * 100 + 99) for d in (2, 3, 4, 5)}
+
+
+def _canonical_severity(name: str) -> int:
+    up = name.upper()
+    if up in SEVERITY_TEXT_TO_NUM:
+        return SEVERITY_TEXT_TO_NUM[up]
+    if up in SEVERITY_ALIASES:
+        return SEVERITY_TEXT_TO_NUM[SEVERITY_ALIASES[up]]
+    raise ValueError(f"unknown severity {name!r}")
+
+
+def severity_num_col(
+    text_col: str = "level", mapping: dict[str, list] | None = None
+) -> F.Column:
+    """Severity text -> number as a literal map lookup (no shuffle, no UDF).
+
+    ``mapping`` is the user-defined severity config
+    (helper/severity_builder.go:113-165, ``SeverityConfig.Mapping``):
+    severity name -> list of parseable values, each a literal string, an
+    int, a ``{"min": lo, "max": hi}`` range, or an HTTP special key
+    ("2xx".."5xx" = that status class). Custom entries are checked first
+    (they ADD to / override the builtin preset, operatorMapping.add).
+    """
     pairs: list = []
     for k, v in SEVERITY_TEXT_TO_NUM.items():
         pairs += [F.lit(k), F.lit(v)]
     for alias, canon in SEVERITY_ALIASES.items():
         pairs += [F.lit(alias), F.lit(SEVERITY_TEXT_TO_NUM[canon])]
     m = F.create_map(*pairs)
-    return F.coalesce(m[F.upper(F.col(text_col))], F.lit(0))
+    builtin = F.coalesce(m[F.upper(F.col(text_col))], F.lit(0))
+    if not mapping:
+        return builtin
+    src = F.col(text_col)
+    num = src.cast("string").try_cast("bigint")
+    chain = None
+    for sev_name, values in mapping.items():
+        sev = _canonical_severity(sev_name)
+        if not isinstance(values, (list, tuple)):
+            values = [values]
+        cond = F.lit(False)
+        for v in values:
+            if isinstance(v, dict):
+                lo, hi = int(v["min"]), int(v["max"])
+                cond = cond | num.between(lo, hi)
+            elif isinstance(v, int):
+                cond = cond | (num == v)
+            elif isinstance(v, str) and v.lower() in _HTTP_RANGES:
+                lo, hi = _HTTP_RANGES[v.lower()]
+                cond = cond | num.between(lo, hi)
+            else:
+                cond = cond | (F.upper(src.cast("string")) == str(v).upper())
+        chain = F.when(cond, F.lit(sev)) if chain is None else chain.when(cond, F.lit(sev))
+    return chain.otherwise(builtin)
 
 
 # --------------------------------------------------------------------------

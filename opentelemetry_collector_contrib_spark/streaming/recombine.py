@@ -53,8 +53,12 @@ def recombine_stream(
     flush_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Merge turns into blocks ending at rows where ``is_last_col`` is
-    true; incomplete blocks flush on processing-time timeout (or job end
-    under availableNow)."""
+    true. Incomplete blocks PERSIST in the state store across runs —
+    with ``flush_timeout_ms`` set they emit once a later micro-batch
+    observes the processing-time timeout; without it (and at job end
+    under availableNow) they simply stay open until a subsequent run
+    completes or times them out, mirroring the recombine operator's
+    in-memory batches surviving until forceFlushTimeout."""
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
