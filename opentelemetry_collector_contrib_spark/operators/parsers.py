@@ -344,7 +344,11 @@ _GOTIME_TO_JAVA = [
 
 def gotime_to_java(layout: str) -> str:
     """Translate a Go time.Parse layout (e.g. ``2006-01-02 15:04:05``)
-    to a Java DateTimeFormatter pattern, once, on the driver."""
+    to a Java DateTimeFormatter pattern, once, on the driver.
+
+    Day-of-week names (``Mon``/``Monday`` -> EEE/EEEE) translate for
+    FORMATTING; Spark's non-legacy datetime parser rejects them on the
+    parse side (they are redundant with the date fields anyway)."""
     out, i = [], 0
     while i < len(layout):
         for tok, java in _GOTIME_TO_JAVA:

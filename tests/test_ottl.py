@@ -198,3 +198,210 @@ def test_url_and_useragent_converters(spark):
     assert r["up"]["url.path"] == "/a/b" and r["up"]["url.query"] == "k=v"
     assert r["uap"]["user_agent.name"] in ("Chrome", "Safari")
     assert r["uap"]["os.name"] == "Windows"
+
+
+# ---------------------------------------------------------------------------
+# round-2 converter/editor tail (ottlfuncs func_flatten/delete_matching_keys/
+# limit-priority/fnv/murmur3_128/sha512/duration/formattime/weekday/decode/
+# slice_to_map/to_key_value_string/parse_csv/parse_xml)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_and_keep_matching_keys(df):
+    out = ottl.apply_statements(df, ['delete_matching_keys(attrs, "^a$")'])
+    got = {r["id"]: r["attrs"] for r in rows(out)}
+    assert got[1] == {"b": "xx"} and got[3] == {"c": "3"}
+    out2 = ottl.apply_statements(df, ['keep_matching_keys(attrs, "^[ab]$")'])
+    got2 = {r["id"]: r["attrs"] for r in rows(out2)}
+    assert got2[1] == {"a": "1", "b": "xx"} and got2[3] == {}
+
+
+def test_delete_key_flat_column_with_where_nulls_per_row(df):
+    # advisor fix: a gated delete must not drop the column for ALL rows
+    out = ottl.apply_statements(
+        df.withColumn("extra", F.lit("v")),
+        ["delete_key(attributes, 'extra') where role == 'system'"],
+    )
+    got = {r["id"]: r["extra"] for r in rows(out)}
+    assert got == {1: "v", 2: "v", 3: None}
+
+
+def test_flatten_editor_nested_map(spark):
+    d = spark.createDataFrame(
+        [(1,)], ["id"]
+    ).withColumn(
+        "m",
+        F.create_map(
+            F.lit("o"), F.create_map(F.lit("i1"), F.lit("a"), F.lit("i2"), F.lit("b"))
+        ),
+    )
+    out = ottl.apply_statements(d, ["flatten(m)"])
+    assert out.collect()[0]["m"] == {"o.i1": "a", "o.i2": "b"}
+    out2 = ottl.apply_statements(d, ['flatten(m, "p")'])
+    assert out2.collect()[0]["m"] == {"p.o.i1": "a", "p.o.i2": "b"}
+
+
+def test_flatten_editor_array_values(spark):
+    d = spark.createDataFrame([(1,)], ["id"]).withColumn(
+        "m", F.create_map(F.lit("k"), F.array(F.lit("x"), F.lit("y")))
+    )
+    out = ottl.apply_statements(d, ["flatten(m)"])
+    assert out.collect()[0]["m"] == {"k.0": "x", "k.1": "y"}
+
+
+def test_limit_priority_keys(df):
+    # size > limit: priority key survives, then entry order; no-op rows
+    # with size <= limit keep all keys (func_limit.go:55-58)
+    out = ottl.apply_statements(df, ['limit(attrs, 1, ["b"])'])
+    got = {r["id"]: r["attrs"] for r in rows(out)}
+    assert got[1] == {"b": "xx"}
+    assert got[3] == {"c": "3"}  # size 1 <= limit: untouched
+    with pytest.raises(ValueError):
+        ottl.apply_statements(df, ['limit(attrs, 1, ["a", "b"])'])
+
+
+def test_fnv_matches_reference_algorithm(spark):
+    d = spark.createDataFrame([("a",), ("hello world",), ("",)], ["s"])
+    out = ottl.apply_statements(d, ["set(h, FNV(s))"]).collect()
+
+    def fnv64a(b: bytes) -> int:
+        h = 14695981039346656037
+        for x in b:
+            h = ((h ^ x) * 1099511628211) % (1 << 64)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    for r in out:
+        assert r["h"] == fnv64a(r["s"].encode()), r["s"]
+
+
+def test_murmur3_128_known_vectors(spark):
+    # mmh3.hash_bytes("hello").hex() / spaolacci murmur3 Sum128
+    d = spark.createDataFrame([("hello",), ("",)], ["s"])
+    got = {r["s"]: r["h"] for r in
+           ottl.apply_statements(d, ["set(h, Murmur3Hash128(s))"]).collect()}
+    assert got["hello"] == "029bbd41b3a7d8cb191dae486a901e5b"
+    assert got[""] == "0" * 32
+
+
+def test_sha512_matches_hashlib(spark):
+    import hashlib
+
+    d = spark.createDataFrame([("abc",)], ["s"])
+    out = ottl.apply_statements(d, ["set(h, SHA512(s))"]).collect()[0]["h"]
+    assert out == hashlib.sha512(b"abc").hexdigest()
+
+
+def test_duration_family(spark):
+    d = spark.createDataFrame(
+        [("1h30m15.5s",), ("300ms",), ("2us",), ("-1.5h",), ("junk",)], ["s"]
+    )
+    out = ottl.apply_statements(
+        d,
+        [
+            "set(ns, Duration(s))",
+            "set(sec, Seconds(Duration(s)))",
+            "set(mins, Minutes(Duration(s)))",
+            "set(ms, Milliseconds(Duration(s)))",
+        ],
+    )
+    got = {r["s"]: r for r in out.collect()}
+    assert got["1h30m15.5s"]["ns"] == 5_415_500_000_000
+    assert got["1h30m15.5s"]["sec"] == 5415.5
+    assert got["300ms"]["ns"] == 300_000_000 and got["300ms"]["ms"] == 300
+    assert got["2us"]["ns"] == 2_000
+    assert got["-1.5h"]["ns"] == -5_400_000_000_000
+    assert got["-1.5h"]["mins"] == -90.0
+    assert got["junk"]["ns"] is None
+
+
+def test_formattime_now_weekday(spark):
+    d = spark.createDataFrame([("2024-03-05 10:20:30",)], ["raw"]).withColumn(
+        "ts", F.to_timestamp("raw")
+    )
+    out = ottl.apply_statements(
+        d,
+        [
+            'set(fmt, FormatTime(ts, "%Y/%m/%d"))',
+            "set(wd, Weekday(ts))",
+            "set(now_ts, Now())",
+        ],
+    ).collect()[0]
+    assert out["fmt"] == "2024/03/05"
+    assert out["wd"] == 2  # Tuesday; Go Weekday Sunday=0
+    assert out["now_ts"] is not None
+
+
+def test_decode_encodings(spark):
+    d = spark.createDataFrame([("aGk=", "6869")], ["b64", "hx"])
+    out = ottl.apply_statements(
+        d,
+        [
+            'set(a, Decode(b64, "base64"))',
+            'set(b, Decode(hx, "hex"))',
+            'set(c, Decode(a, "utf-8"))',
+        ],
+    ).collect()[0]
+    assert out["a"] == "hi" and out["b"] == "hi" and out["c"] == "hi"
+    with pytest.raises(ValueError):
+        ottl.apply_statements(d, ['set(x, Decode(b64, "ebcdic"))'])
+
+
+def test_slice_to_map_with_and_without_value_path(spark):
+    d = spark.createDataFrame([(1,)], ["id"]).withColumn(
+        "arr",
+        F.array(
+            F.create_map(F.lit("name"), F.lit("n1"), F.lit("v"), F.lit("x")),
+            F.create_map(F.lit("name"), F.lit("n2"), F.lit("v"), F.lit("y")),
+        ),
+    )
+    out = ottl.apply_statements(d, ['set(m, SliceToMap(arr, "name", "v"))'])
+    assert out.collect()[0]["m"] == {"n1": "x", "n2": "y"}
+    out2 = ottl.apply_statements(d, ['set(m2, SliceToMap(arr, "name"))'])
+    assert out2.collect()[0]["m2"]["n2"] == {"name": "n2", "v": "y"}
+
+
+def test_to_key_value_string_escaping(spark):
+    d = spark.createDataFrame([(1,)], ["id"]).withColumn(
+        "m", F.create_map(F.lit("k1"), F.lit('va "q" l'), F.lit("k 2"), F.lit("v2"))
+    )
+    out = ottl.apply_statements(
+        d, ['set(s, ToKeyValueString(m, "=", " ", true))']
+    ).collect()[0]["s"]
+    # '"' escaped, values/keys containing pair delimiter quoted
+    assert out == '"k 2"=v2 k1="va \\"q\\" l"'
+
+
+def test_parse_csv_modes(spark):
+    d = spark.createDataFrame([('a,"b,1",c',)], ["line"])
+    out = ottl.apply_statements(
+        d,
+        [
+            'set(m, ParseCSV(line, "h1,h2,h3"))',
+            'set(m2, ParseCSV(line, "h1,h2,h3", ",", ",", "ignoreQuotes"))',
+        ],
+    ).collect()[0]
+    assert out["m"] == {"h1": "a", "h2": "b,1", "h3": "c"}
+    assert out["m2"]["h2"] == '"b'  # quotes literal when ignored
+
+
+def test_parse_simplified_xml_nested(spark):
+    xml = "<root><a>1</a><b><c>x</c></b><d>p</d><d>q</d></root>"
+    d = spark.createDataFrame([(xml,)], ["x"])
+    out = ottl.apply_statements(d, ["set(j, ParseSimplifiedXML(x))"]).collect()[0]["j"]
+    import json
+
+    assert json.loads(out) == {"root": {"a": "1", "b": {"c": "x"}, "d": ["p", "q"]}}
+
+
+def test_useragent_unknown_yields_other(spark):
+    d = spark.createDataFrame([("SomeUnknownBot/9.9",)], ["ua"])
+    out = ottl.apply_statements(d, ["set(m, UserAgent(ua))"]).collect()[0]["m"]
+    assert out["user_agent.name"] == "Other" and out["os.name"] == "Other"
+
+
+def test_replace_match_underscore_literal(spark):
+    # '_' in the glob must match a literal underscore only
+    d = spark.createDataFrame([("a_b",), ("axb",)], ["v"])
+    out = ottl.apply_statements(d, ["replace_match(v, 'a_b', 'HIT')"])
+    got = sorted(r["v"] for r in out.collect())
+    assert got == ["HIT", "axb"]

@@ -1,0 +1,210 @@
+"""Round-2 parser/processor coverage: CSV quote semantics, gotime
+layouts, severity custom mapping, OTLP-JSON envelope, redaction summary,
+chained enrich cascade (k8sattributes association depth)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from opentelemetry_collector_contrib_spark.operators import (  # noqa: E402
+    parsers,
+    processors,
+)
+
+
+# ---------------------------------------------------------------------------
+# csv_parse (operator/parser/csv/parser_test.go shapes)
+# ---------------------------------------------------------------------------
+
+def test_csv_quoted_field_with_delimiter(spark):
+    d = spark.createDataFrame([('a,"b,1",c',)], ["text"])
+    r = parsers.csv_parse(d, ["f1", "f2", "f3"]).collect()[0]
+    assert r["parse_ok"] and (r["f1"], r["f2"], r["f3"]) == ("a", "b,1", "c")
+
+
+def test_csv_short_row_fails_parse(spark):
+    d = spark.createDataFrame([("x,y",)], ["text"])
+    r = parsers.csv_parse(d, ["f1", "f2", "f3"]).collect()[0]
+    assert not r["parse_ok"] and r["f3"] is None
+
+
+def test_csv_trailing_empty_field_is_valid(spark):
+    d = spark.createDataFrame([("p,q,",)], ["text"])
+    r = parsers.csv_parse(d, ["f1", "f2", "f3"]).collect()[0]
+    assert r["parse_ok"] and r["f3"] == ""
+
+
+def test_csv_quoted_empty_field(spark):
+    d = spark.createDataFrame([('p,"",r',)], ["text"])
+    r = parsers.csv_parse(d, ["f1", "f2", "f3"]).collect()[0]
+    assert r["parse_ok"] and r["f2"] == ""
+
+
+def test_csv_lazy_quote_in_unquoted_field(spark):
+    d = spark.createDataFrame([('la"zy,m,z',)], ["text"])
+    r = parsers.csv_parse(d, ["f1", "f2", "f3"]).collect()[0]
+    assert r["parse_ok"] and r["f1"] == 'la"zy'
+
+
+def test_csv_on_error_drop_equivalent_semantics(spark):
+    d = spark.createDataFrame([("a,b,c",), ("short",)], ["text"])
+    out = parsers.csv_parse(d, ["f1", "f2", "f3"]).filter(F.col("parse_ok"))
+    assert out.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# gotime layouts (operator/helper/time.go:19-26)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "layout,value",
+    [
+        ("2006-01-02 15:04:05", "2024-03-05 10:20:30"),
+        ("02/Jan/2006:15:04:05", "05/Mar/2024:10:20:30"),
+        ("2006-01-02T15:04:05Z", "2024-03-05T10:20:30Z"),
+        ("02-Jan-06 15:04:05", "05-Mar-24 10:20:30"),
+    ],
+)
+def test_gotime_layouts(spark, layout, value):
+    d = spark.createDataFrame([(value,)], ["ts_raw"])
+    r = parsers.time_parse(d, layout=layout, layout_type="gotime").collect()[0]
+    assert str(r["event_ts"]) == "2024-03-05 10:20:30", layout
+
+
+def test_gotime_translation_table():
+    assert parsers.gotime_to_java("2006-01-02") == "yyyy-MM-dd"
+    assert parsers.gotime_to_java("15:04:05.000") == "HH:mm:ss.SSS"
+    assert parsers.gotime_to_java("Jan 2 2006") == "MMM d yyyy"
+
+
+# ---------------------------------------------------------------------------
+# severity custom mapping (helper/severity_builder.go:113-165)
+# ---------------------------------------------------------------------------
+
+def test_severity_custom_values_ranges_and_specials(spark):
+    d = spark.createDataFrame(
+        [("oops",), ("404",), ("250",), ("333",), ("warn",), ("mystery",)],
+        ["level"],
+    )
+    out = parsers.severity_parse(
+        d,
+        mapping={
+            "error": ["oops", "4xx"],
+            "info": [{"min": 200, "max": 299}],
+            "warn3": [333],
+        },
+        overwrite_text=True,
+    )
+    got = {r["level"]: (r["severity_num"], r["severity_text"]) for r in out.collect()}
+    assert got["oops"] == (17, "ERROR")
+    assert got["404"] == (17, "ERROR")
+    assert got["250"] == (9, "INFO")
+    assert got["333"] == (15, "WARN3")
+    assert got["warn"] == (13, "WARN")  # builtin preset still applies
+    assert got["mystery"] == (0, "DEFAULT")
+
+
+def test_severity_unknown_mapping_name_raises():
+    with pytest.raises(ValueError):
+        from opentelemetry_collector_contrib_spark.schema import _canonical_severity
+
+        _canonical_severity("not-a-severity")
+
+
+# ---------------------------------------------------------------------------
+# OTLP-JSON envelope (connector/otlpjsonconnector/connector_logs.go)
+# ---------------------------------------------------------------------------
+
+_ENV = (
+    '{"resourceLogs":[{"resource":{"attributes":[{"key":"svc","value":'
+    '{"stringValue":"api"}}]},"scopeLogs":[{"scope":{"name":"s","version":"2"},'
+    '"logRecords":[{"timeUnixNano":"123","severityNumber":9,"severityText":"Info",'
+    '"body":{"stringValue":"msg-a"},"attributes":[{"key":"n","value":'
+    '{"intValue":"7"}},{"key":"ok","value":{"boolValue":true}}],'
+    '"traceId":"0804","spanId":"0102"},'
+    '{"timeUnixNano":"456","severityText":"Warn","body":{"stringValue":"msg-b"},'
+    '"attributes":[]}]}]}]}'
+)
+
+
+def test_otlp_envelope_explodes_records(spark):
+    d = spark.createDataFrame([(_ENV,)], ["text"])
+    out = parsers.otlp_json_parse(d).collect()
+    assert len(out) == 2
+    a = next(r for r in out if r["body"] == "msg-a")
+    assert a["resource_attrs"] == {"svc": "api"}
+    assert a["scope_name"] == "s" and a["scope_version"] == "2"
+    assert a["time_unix_nano"] == 123
+    assert a["attributes"] == {"n": "7", "ok": "true"}
+    assert a["trace_id_hex"] == "0804"
+    b = next(r for r in out if r["body"] == "msg-b")
+    assert b["severity_text"] == "Warn" and b["attributes"] == {}
+
+
+def test_otlp_envelope_invalid_json_flows_as_error_row(spark):
+    d = spark.createDataFrame([("not json at all",)], ["text"])
+    out = parsers.otlp_json_parse(d).collect()
+    assert len(out) == 1 and not out[0]["parse_ok"] and out[0]["body"] is None
+
+
+# ---------------------------------------------------------------------------
+# redaction summary (redactionprocessor/processor.go:193+,320-340)
+# ---------------------------------------------------------------------------
+
+def test_redact_summary_debug_and_info(spark):
+    d = spark.createDataFrame(
+        [("user=5 hi", "tok123", "keep"), ("clean", "abc", "keep")],
+        ["msg", "token", "other"],
+    )
+    dbg = processors.redact(
+        d,
+        allowed_keys=["msg", "token"],
+        mask_patterns={"num": r"\d+"},
+        summary="debug",
+    )
+    rows = {r["msg"].split(" ")[0]: r.asDict() for r in dbg.collect()}
+    masked = rows["user=****"]
+    assert masked["redaction.masked.count"] == 2
+    assert masked["redaction.masked.keys"] == "msg,token"
+    assert masked["redaction.redacted.count"] == 1
+    assert masked["redaction.redacted.keys"] == "other"
+    clean = rows["clean"]
+    assert clean["redaction.masked.count"] == 0
+    info = processors.redact(
+        d, mask_patterns={"num": r"\d+"}, summary="info"
+    )
+    assert "redaction.masked.keys" not in info.columns
+    assert "redaction.masked.count" in info.columns
+
+
+# ---------------------------------------------------------------------------
+# chained enrich cascade: second lookup keys on a column PRODUCED by the
+# first (k8sattributes pod->namespace->node association depth,
+# processor.go:121-194), insert-if-absent preserved through the chain
+# ---------------------------------------------------------------------------
+
+def test_enrich_cascade_chained_lookup(spark):
+    facts = spark.createDataFrame(
+        [("p1", None), ("p2", None), ("p3", "pre-set")],
+        ["pod", "node"],
+    )
+    pods = spark.createDataFrame(
+        [("p1", "ns-a"), ("p2", "ns-b"), ("p3", "ns-b")], ["pod", "ns"]
+    )
+    namespaces = spark.createDataFrame(
+        [("ns-a", "node-1", "team-x"), ("ns-b", "node-2", "team-y")],
+        ["ns", "node", "team"],
+    )
+    out = processors.enrich_lookup(facts, pods, on="pod")
+    out = processors.enrich_lookup(out, namespaces, on="ns")
+    got = {r["pod"]: r.asDict() for r in out.collect()}
+    assert got["p1"]["ns"] == "ns-a" and got["p1"]["node"] == "node-1"
+    assert got["p1"]["team"] == "team-x"
+    assert got["p2"]["node"] == "node-2"
+    # insert-if-absent: the pre-set node survives the level-2 lookup
+    assert got["p3"]["node"] == "pre-set" and got["p3"]["team"] == "team-y"
