@@ -77,14 +77,24 @@ def attach_fake_payload(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 
 
 def rebalance_for_payloads(
-    df: DataFrame, *, approx_row_bytes: int, target_partition_bytes: int = 128 << 20
+    df: DataFrame,
+    *,
+    approx_row_bytes: int,
+    target_partition_bytes: int = 128 << 20,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Repartition so each partition holds ~target bytes of payload.
 
     Row-count-based partitioning breaks when rows are megabytes wide;
     this sizes partitions by a byte budget (the Arrow batch transfer and
-    the Python worker's memory both scale with partition width)."""
-    rows = max(df.count(), 1)
+    the Python worker's memory both scale with partition width).
+
+    ``approx_rows`` should come from an upstream stage's lineage metrics
+    (plans/lineage.partition_metrics rows) or the source table's
+    statistics — an extra counting pass over a 100 TB payload table just
+    to pick a partition count is the wrong trade. Only when no estimate
+    exists does this fall back to one `count()` action."""
+    rows = max(approx_rows if approx_rows is not None else df.count(), 1)
     parts = max(1, (rows * approx_row_bytes) // target_partition_bytes)
     return df.repartition(int(min(parts, rows)))
 
@@ -119,6 +129,8 @@ def decode_features(
         raise ValueError(impl)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if impl == "real":
                 raise NotImplementedError(
@@ -126,19 +138,35 @@ def decode_features(
                     "environment — use impl='fake'"
                 )
             kinds = pdf["media_meta"].map(lambda m: m["kind"])
-            stats = [
-                _fake_decode(p, k) for p, k in zip(pdf["payload"], kinds)
-            ]
+            # batch-vectorized byte statistics: payloads pad into one
+            # (rows, maxlen) matrix (sentinel 256 past each row's end),
+            # then mean / distinct-count / frame-count are whole-batch
+            # numpy ops — the same stats _fake_decode defines per row
+            bodies = [bytes(p)[4:] for p in pdf["payload"]]
+            n = len(bodies)
+            lens = np.fromiter((len(b) for b in bodies), dtype=np.int64, count=n)
+            maxlen = int(lens.max()) if n else 0
+            arr = np.full((n, max(maxlen, 1)), 256, dtype=np.uint16)
+            for i, b in enumerate(bodies):
+                arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            valid = arr <= 255
+            sums = np.where(valid, arr, 0).sum(axis=1)
+            mean = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+            srt = np.sort(arr, axis=1)
+            distinct = ((srt[:, 1:] != srt[:, :-1]) & (srt[:, 1:] <= 255)).sum(
+                axis=1
+            ) + (srt[:, 0] <= 255).astype(np.int64)
+            frames = np.where(
+                kinds.values == "image", 1, np.maximum(1, lens // 100)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "kind": kinds,
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "byte_mean": [s[0] for s in stats],
-                    "byte_entropy_proxy": [s[1] for s in stats],
-                    "frame_count": pd.Series(
-                        [s[2] for s in stats], dtype="int32"
-                    ),
+                    "n_bytes": lens + 4,
+                    "byte_mean": mean,
+                    "byte_entropy_proxy": distinct / 256.0,
+                    "frame_count": pd.Series(frames, dtype="int32"),
                 }
             )
 

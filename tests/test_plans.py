@@ -117,3 +117,75 @@ def test_arrow_batch_dedup_parity(spark, turns):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, dedup.collect()))
     assert a == b
+
+
+def test_aqe_skew_join_backstop(spark):
+    """SURVEY §4 names AQE skew-join splitting as the backstop when
+    salting is off: a sort-merge join with one hot conv_id partition must
+    be rewritten by OptimizeSkewedJoin (the executed plan carries
+    skew=true) and still produce exact results."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k"
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50k")
+        # force sort-merge (no broadcast escape hatch) — the point is the
+        # skew split, not the broadcast strategy
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        n_tail, tail_turns, hot_rows = 2_000, 5, 120_000
+        tail = spark.range(n_tail * tail_turns).select(
+            F.concat_ws(
+                "-", F.lit("conv"), (F.col("id") / tail_turns).cast("long")
+            ).alias("conv_id"),
+            F.concat(F.lit("payload text for skew test "), F.col("id")).alias(
+                "text"
+            ),
+        )
+        hot = spark.range(hot_rows).select(
+            F.lit("conv-hot").alias("conv_id"),
+            F.concat(F.lit("hot payload text for skew test "), F.col("id")).alias(
+                "text"
+            ),
+        )
+        facts = tail.unionAll(hot)
+        dim = spark.range(n_tail + 1).select(
+            F.when(F.col("id") < n_tail, F.concat_ws("-", F.lit("conv"), F.col("id")))
+            .otherwise(F.lit("conv-hot"))
+            .alias("conv_id"),
+            (F.col("id") % 7).cast("int").alias("team_id"),
+        )
+        joined = facts.join(dim, "conv_id")
+        collected = joined.collect()
+        # exact results survive the skew split: every fact row joined
+        assert len(collected) == n_tail * tail_turns + hot_rows
+        hot_team = n_tail % 7
+        assert (
+            sum(1 for r in collected if r["team_id"] == hot_team) >= hot_rows
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
