@@ -22,9 +22,13 @@ Paths resolve against the flat transcript model: ``body`` -> text column,
 maps promoted typed columns over MapType on purpose).
 
 Supported editors (ottlfuncs/functions.go:12-26): set, delete_key,
-keep_keys, replace_pattern, replace_all_patterns, truncate_all, limit,
-append. Converters: see CONVERTERS below (string/math/time/hash
-families, ExtractPatterns, IsMatch, ...).
+delete_matching_keys, keep_keys, keep_matching_keys, replace_pattern,
+replace_all_patterns, replace_match, replace_all_matches, merge_maps,
+truncate_all, limit (+priority_keys), append, flatten (map; prefix +
+depth, compile-time dtype recursion). Converters: see CONVERTERS below
+(string/math/time/duration/hash families, ExtractPatterns, IsMatch,
+ParseCSV/ParseXML/ParseSimplifiedXML, SliceToMap, ToKeyValueString,
+FNV/Murmur3Hash128 via Arrow UDFs, ...).
 """
 
 from __future__ import annotations
