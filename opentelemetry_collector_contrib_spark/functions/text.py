@@ -62,6 +62,11 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def _hits_arr(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
 def _hits(col: str, words: list[str]) -> Column:
     arr = ", ".join(f"'{w}'" for w in words)
     return F.expr(
@@ -76,14 +81,23 @@ def lang_id(df: DataFrame, col: str = "text", out: str = "pred_lang") -> DataFra
     Declared langs with zero hits fall through to 'und' (undetermined).
     """
     langs = list(STOPWORDS)
-    hit_cols = {lang: _hits(col, STOPWORDS[lang]) for lang in langs}
+    # tokenize once, then count hits per language into named columns so
+    # the argmax chain references cheap ints, not repeated regex runs
+    df = df.withColumn("_lid_toks", tokens(col))
+    for lang in langs:
+        df = df.withColumn(
+            f"_hit_{lang}", _hits_arr(F.col("_lid_toks"), STOPWORDS[lang])
+        )
+    hit_cols = {lang: F.col(f"_hit_{lang}") for lang in langs}
     best = F.greatest(*hit_cols.values())
     pred = F.lit("und")
     # reversed: earlier language wins ties because later whens wrap outside
     for lang in reversed(langs):
         pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return df.withColumn(out, pred)
+    return df.withColumn(out, pred).drop(
+        "_lid_toks", *[f"_hit_{lang}" for lang in langs]
+    )
 
 
 def quality_score(df: DataFrame, col: str = "text", out: str = "quality") -> DataFrame:
@@ -97,15 +111,21 @@ def quality_score(df: DataFrame, col: str = "text", out: str = "quality") -> Dat
 
     score = 0.25*each. Also emits the components for inspection.
     """
+    # tokenize ONCE into a named column: CollapseProject keeps non-cheap
+    # expressions like regexp_extract_all from being inlined into every
+    # use site, so the regex runs once per row, not once per reference
+    df = df.withColumn("_q_toks", tokens(col))
+    t = F.col("_q_toks")
     chars = F.length(F.col(col)).cast("double")
-    toks = tokens(col)
-    n_tok = F.size(toks).cast("double")
+    n_tok = F.size(t).cast("double")
     alpha = F.length(F.regexp_replace(F.col(col), "[^A-Za-z0-9]", "")).cast("double")
     alpha_ratio = F.when(chars > 0, alpha / chars).otherwise(F.lit(0.0))
     length_ok = F.when(chars < 20, chars / 20).when(
         chars > 20000, F.lit(20000.0) / chars
     ).otherwise(F.lit(1.0))
-    stop_sig = F.least(F.lit(1.0), _hits(col, STOPWORDS["en"]).cast("double") / 5)
+    stop_sig = F.least(
+        F.lit(1.0), _hits_arr(t, STOPWORDS["en"]).cast("double") / 5
+    )
     mean_wl = F.when(n_tok > 0, alpha / n_tok).otherwise(F.lit(0.0))
     word_len_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), 1.0).otherwise(0.0)
     return (
@@ -120,6 +140,7 @@ def quality_score(df: DataFrame, col: str = "text", out: str = "quality") -> Dat
             + 0.25 * F.col("stop_sig")
             + 0.25 * F.col("word_len_ok"),
         )
+        .drop("_q_toks")
     )
 
 
@@ -133,13 +154,20 @@ def doc_fingerprint(
 
     Narrow stage: the shingle array never leaves the row (array_min over
     a transform), so there is NO explode and NO shuffle.
+
+    The token array materializes as a named column FIRST — embedding the
+    regexp_extract_all inside the transform lambda would re-run the
+    regex once per shingle (higher-order-function lambdas defeat
+    subexpression elimination), turning a linear stage quadratic.
     """
-    sh = (
-        f"transform(sequence(1, greatest(size(regexp_extract_all(lower({col}), "
-        f"'{TOKEN_RE}', 0)) - {w - 1}, 1)), "
-        f"i -> md5(concat_ws(' ', slice(regexp_extract_all(lower({col}), "
-        f"'{TOKEN_RE}', 0), i, {w}))))"
-    )
-    return df.withColumn(out, F.expr(f"array_min({sh})")).withColumn(
-        "exact_hash", F.md5(F.lower(F.regexp_replace(F.col(col), r"\s+", " ")))
+    df = df.withColumn("_fp_toks", tokens(col))
+    t = F.col("_fp_toks")
+    seq = F.sequence(F.lit(1), F.greatest(F.size(t) - (w - 1), F.lit(1)))
+    sh = F.transform(seq, lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, w))))
+    return (
+        df.withColumn(out, F.array_min(sh))
+        .withColumn(
+            "exact_hash", F.md5(F.lower(F.regexp_replace(F.col(col), r"\s+", " ")))
+        )
+        .drop("_fp_toks")
     )
