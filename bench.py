@@ -26,6 +26,9 @@ def make_spark(cpus: int, app: str = "otelcol-spark-bench") -> SparkSession:
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        # bigger Arrow batches amortize the IPC boundary for pandas-UDF
+        # stages (measured: ~20% off the warm Arrow parse at 64k vs 10k)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

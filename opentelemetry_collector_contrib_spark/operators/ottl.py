@@ -59,7 +59,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<number>-?\d+\.\d+|-?\d+)
-  | (?P<op>==|!=|>=|<=|\+|\-|\*|/|>|<|\(|\)|\[|\]|,|\.)
+  | (?P<op>==|!=|>=|<=|=|\+|\-|\*|/|>|<|\(|\)|\[|\]|,|\.)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -101,6 +101,7 @@ class Path:
 class Call:
     name: str
     args: list
+    kwargs: dict | None = None  # OTTL named args, e.g. flatten(m, depth=1)
 
 @dataclass
 class Lit:
@@ -221,17 +222,31 @@ class _Parser:
                 return Lit(False)
             if val == "nil":
                 return Lit(None)
-            # function call?
+            # function call?  args may include OTTL named arguments
+            # (grammar.go argument: `name = value`, e2e corpus uses
+            # flatten(m, depth=1), append(x, values=[...]))
             if self.peek()[1] == "(":
                 self.next()
-                args = []
+                args, kwargs = [], {}
+
+                def one_arg():
+                    if (
+                        self.peek()[0] == "ident"
+                        and self.toks[self.i + 1][1] == "="
+                    ):
+                        name = self.next()[1]
+                        self.expect("=")
+                        kwargs[name] = self.parse_expr()
+                    else:
+                        args.append(self.parse_expr())
+
                 if self.peek()[1] != ")":
-                    args.append(self.parse_expr())
+                    one_arg()
                     while self.peek()[1] == ",":
                         self.next()
-                        args.append(self.parse_expr())
+                        one_arg()
                 self.expect(")")
-                return Call(val, args)
+                return Call(val, args, kwargs or None)
             # path: ident(.ident | ["key"])*
             parts = [val]
             while True:
@@ -395,19 +410,16 @@ def _to_kv_string(m: Column, delim=None, pair_delim=None, sort_output=None) -> C
     return F.array_join(parts, p)
 
 
-CONVERTERS: dict[str, callable] = {
-    # string — Concat(values[], delimiter) per ottlfuncs/func_concat.go
-    "Concat": lambda vals, sep: F.concat_ws(sep._lit, *vals),
-    "Split": lambda x, sep: F.split(x, re.escape(sep._lit)),
-    "Trim": lambda x: F.trim(x),
-    "ToUpperCase": lambda x: F.upper(x),
-    "ToLowerCase": lambda x: F.lower(x),
-    "ToSnakeCase": lambda x: F.lower(
+def _to_snake(x: Column) -> Column:
+    return F.lower(
         F.regexp_replace(
             F.regexp_replace(x, r"([a-z0-9])([A-Z])", r"$1_$2"), r"[\s-]+", "_"
         )
-    ),
-    "ToCamelCase": lambda x: F.concat_ws(
+    )
+
+
+def _to_camel(x: Column) -> Column:
+    return F.concat_ws(
         "",
         F.transform(
             F.split(x, "[_ -]+"),
@@ -416,7 +428,25 @@ CONVERTERS: dict[str, callable] = {
                 w.substr(F.lit(2), F.length(w)),
             ),
         ),
-    ),
+    )
+
+
+CONVERTERS: dict[str, callable] = {
+    # string — Concat(values[], delimiter) per ottlfuncs/func_concat.go
+    "Concat": lambda vals, sep: F.concat_ws(sep._lit, *vals),
+    "Split": lambda x, sep: F.split(x, re.escape(sep._lit)),
+    "Trim": lambda x: F.trim(x),
+    "ToUpperCase": lambda x: F.upper(x),
+    "ToLowerCase": lambda x: F.lower(x),
+    "ToSnakeCase": lambda x: _to_snake(x),
+    "ToCamelCase": lambda x: _to_camel(x),
+    # generic dispatch form (func_convert_case.go: upper/lower/snake/camel)
+    "ConvertCase": lambda x, case: {
+        "upper": F.upper,
+        "lower": F.lower,
+        "snake": _to_snake,
+        "camel": _to_camel,
+    }[case._lit](x),
     "Len": lambda x: F.length(x),
     "Format": lambda fmt, vals: F.format_string(fmt._lit, *vals),
     "Base64Decode": lambda x: F.unbase64(x).cast("string"),
@@ -713,11 +743,25 @@ def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
         return gated(name, new)
     if ed.name == "flatten":
         # func_flatten.go:45-130: flatten nested maps/slices, optional
-        # prefix and depth. Spark types are static, so the recursion
-        # happens at COMPILE time over the dtype — execution stays JVM.
+        # prefix and depth (positional or named, e2e corpus uses both).
+        # Spark types are static, so the recursion happens at COMPILE
+        # time over the dtype — execution stays JVM.
+        kw = ed.kwargs or {}
         target = ed.args[0]
-        prefix = ed.args[1].value if len(ed.args) > 1 else ""
-        depth = ed.args[2].value if len(ed.args) > 2 else 2**31
+        prefix = ed.args[1].value if len(ed.args) > 1 else (
+            kw["prefix"].value if "prefix" in kw else ""
+        )
+        depth = ed.args[2].value if len(ed.args) > 2 else (
+            kw["depth"].value if "depth" in kw else 2**31
+        )
+        if kw.get("resolveConflicts") and kw["resolveConflicts"].value:
+            # conflicts can't occur in the statically-typed flatten
+            # (distinct outer keys yield distinct prefixed keys), so the
+            # reference's numeric-suffix path has nothing to resolve
+            raise ValueError(
+                "flatten(resolveConflicts=true) is unnecessary in the "
+                "typed-column model: flattened keys are unique by construction"
+            )
         name = target.column_name()
         dt = ctx.df.schema[name].dataType
         return gated(name, _flatten_map_col(F.col(name), dt, prefix, depth))
@@ -730,8 +774,20 @@ def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
             return gated(name, F.map_filter(F.col(name), lambda k, _: F.array_contains(arr, k)))
         raise ValueError("keep_keys requires a map column")
     if ed.name in ("replace_pattern", "replace_all_patterns"):
+        # optional 4th arg: converter applied to the replacement value
+        # (func_replace_pattern.go optional Function, e2e: `replace_
+        # pattern(attributes["http.path"], "/", "@", SHA256)`)
         target, pattern, repl = ed.args[:3]
         name = target.column_name()
+        if len(ed.args) > 3:
+            fn_node = ed.args[3]
+            fn = CONVERTERS.get(getattr(fn_node, "parts", [None])[0])
+            if fn is None:
+                raise ValueError(f"replace_pattern: unknown function {fn_node!r}")
+            repl_col = fn(F.lit(repl.value))
+            return gated(
+                name, F.regexp_replace(F.col(name), F.lit(pattern.value), repl_col)
+            )
         return gated(name, F.regexp_replace(F.col(name), pattern.value, repl.value))
     if ed.name in ("replace_match", "replace_all_matches"):
         # glob match -> whole-value replacement (func_replace_match.go)
@@ -803,9 +859,20 @@ def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
             F.map_from_entries(F.slice(F.map_entries(col), 1, n.value)),
         )
     if ed.name == "append":
-        target, value = ed.args
+        # append(target, value) or append(target, values=[...])
+        # (func_append.go: creates the slice when the target is missing)
+        target = ed.args[0]
         name = target.column_name()
-        return gated(name, F.concat(F.col(name), F.array(_compile(value, ctx))))
+        kw = ed.kwargs or {}
+        if "values" in kw:
+            new_items = F.array(*[_compile(v, ctx) for v in kw["values"].items])
+        elif len(ed.args) > 1:
+            new_items = F.array(_compile(ed.args[1], ctx))
+        else:
+            raise ValueError("append needs a value or values=[...]")
+        if name in df.columns:
+            return gated(name, F.concat(F.col(name), new_items))
+        return gated(name, new_items)
     raise ValueError(f"unknown editor {ed.name!r}")
 
 
@@ -831,6 +898,8 @@ def _validate(node, *, top: bool = False) -> None:
             raise ValueError(f"unknown {kind} {node.name!r}")
         for a in node.args:
             _validate(a)
+        for v in (node.kwargs or {}).values():
+            _validate(v)
     elif isinstance(node, BinOp):
         _validate(node.left)
         _validate(node.right)
