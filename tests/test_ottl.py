@@ -405,3 +405,48 @@ def test_replace_match_underscore_literal(spark):
     out = ottl.apply_statements(d, ["replace_match(v, 'a_b', 'HIT')"])
     got = sorted(r["v"] for r in out.collect())
     assert got == ["HIT", "axb"]
+
+
+def test_named_arguments_flatten_depth_and_prefix(spark):
+    d = spark.createDataFrame([(1,)], ["id"]).withColumn(
+        "m",
+        F.create_map(
+            F.lit("o"), F.create_map(F.lit("i"), F.lit("x"))
+        ),
+    )
+    out = ottl.apply_statements(d, ['flatten(m, depth=1)'])
+    assert out.collect()[0]["m"] == {"o.i": "x"}
+    out2 = ottl.apply_statements(d, ['flatten(m, prefix="p", depth=1)'])
+    assert out2.collect()[0]["m"] == {"p.o.i": "x"}
+    with pytest.raises(ValueError):
+        ottl.apply_statements(d, ["flatten(m, resolveConflicts=true)"])
+
+
+def test_append_values_and_create_missing(df):
+    out = ottl.apply_statements(
+        df, ['append(newlist, values=["a", "b"])', 'append(newlist, "c")']
+    )
+    assert out.collect()[0]["newlist"] == ["a", "b", "c"]
+
+
+def test_convert_case_dispatch(spark):
+    d = spark.createDataFrame([("fooBar",)], ["v"])
+    out = ottl.apply_statements(
+        d,
+        [
+            'set(u, ConvertCase(v, "upper"))',
+            'set(s, ConvertCase(v, "snake"))',
+            'set(c, ConvertCase("foo_bar", "camel"))',
+        ],
+    ).collect()[0]
+    assert out["u"] == "FOOBAR" and out["s"] == "foo_bar" and out["c"] == "FooBar"
+
+
+def test_replace_pattern_with_hash_function(spark):
+    import hashlib
+
+    d = spark.createDataFrame([("a/b",)], ["v"])
+    out = ottl.apply_statements(
+        d, ["replace_pattern(v, '/', '@', SHA256)"]
+    ).collect()[0]["v"]
+    assert out == "a" + hashlib.sha256(b"@").hexdigest() + "b"
