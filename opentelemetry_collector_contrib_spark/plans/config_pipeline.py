@@ -67,7 +67,11 @@ def _stage_kv(df, spark, sf_dir, cfg):
 
 
 def _stage_severity(df, spark, sf_dir, cfg):
-    return parsers.severity_parse(df, parse_from=cfg.get("parse_from", "level"))
+    return parsers.severity_parse(
+        df, parse_from=cfg.get("parse_from", "level"),
+        mapping=cfg.get("mapping"),
+        overwrite_text=cfg.get("overwrite_text", False),
+    )
 
 
 def _stage_time(df, spark, sf_dir, cfg):
@@ -76,6 +80,100 @@ def _stage_time(df, spark, sf_dir, cfg):
         layout=cfg.get("layout", "%Y-%m-%dT%H:%M:%SZ"),
         layout_type=cfg.get("layout_type", "strptime"),
     )
+
+
+def _stage_csv(df, spark, sf_dir, cfg):
+    return parsers.csv_parse(
+        df, cfg["header"],
+        parse_from=cfg.get("parse_from", "text"),
+        delimiter=cfg.get("delimiter", ","),
+        lazy_quotes=cfg.get("lazy_quotes", True),
+    )
+
+
+def _stage_json(df, spark, sf_dir, cfg):
+    return parsers.json_parse(
+        df, cfg["schema"], parse_from=cfg.get("parse_from", "text"),
+        prefix=cfg.get("prefix", ""),
+    )
+
+
+def _stage_uri(df, spark, sf_dir, cfg):
+    return parsers.uri_parse(df, parse_from=cfg.get("parse_from", "uri"))
+
+
+def _stage_trace(df, spark, sf_dir, cfg):
+    return parsers.trace_parse(
+        df, trace_field=cfg.get("trace_field", "trace_id_hex"),
+        span_field=cfg.get("span_field"),
+    )
+
+
+def _stage_syslog(df, spark, sf_dir, cfg):
+    return parsers.syslog_parse(
+        df, protocol=cfg.get("protocol", "rfc5424"),
+        parse_from=cfg.get("parse_from", "text"),
+        on_error=cfg.get("on_error", "send"),
+    )
+
+
+def _stage_container(df, spark, sf_dir, cfg):
+    return parsers.container_parse(
+        df, parse_from=cfg.get("parse_from", "text"),
+        recombine_partials=cfg.get("recombine_partials", False),
+    )
+
+
+def _stage_otlpjson(df, spark, sf_dir, cfg):
+    return parsers.otlp_json_parse(df, parse_from=cfg.get("parse_from", "text"))
+
+
+def _stage_recombine(df, spark, sf_dir, cfg):
+    kw = {}
+    if "is_first" in cfg:
+        kw["is_first"] = F.expr(cfg["is_first"])
+    if "is_last" in cfg:
+        kw["is_last"] = F.expr(cfg["is_last"])
+    return transformers.recombine(
+        df, source_col=cfg.get("source_col", "conv_id"),
+        order_col=cfg.get("order_col", "turn_idx"),
+        combine_field=cfg.get("combine_field", "text"),
+        combine_with=cfg.get("combine_with", "\n"),
+        max_batch_size=cfg.get("max_batch_size"),
+        overwrite_with=cfg.get("overwrite_with", "oldest"),
+        **kw,
+    )
+
+
+def _stage_log_dedup(df, spark, sf_dir, cfg):
+    return processors.log_dedup(
+        df, cfg["key_cols"], ts_col=cfg.get("ts_col", "ts"),
+        exclude=cfg.get("exclude_fields"),
+    )
+
+
+#: attributes-processor action list (attraction.go:22-88): each entry is
+#: {action: insert|update|upsert|delete|hash|extract|convert, key: ..., ...}
+def _stage_attributes(df, spark, sf_dir, cfg):
+    for a in cfg["actions"]:
+        act = a["action"]
+        if act == "insert":
+            df = processors.attr_insert(df, a["key"], a["value"])
+        elif act == "update":
+            df = processors.attr_update(df, a["key"], a["value"])
+        elif act == "upsert":
+            df = processors.attr_upsert(df, a["key"], a["value"])
+        elif act == "delete":
+            df = processors.attr_delete(df, a["key"])
+        elif act == "hash":
+            df = processors.attr_hash(df, a["key"], algo=a.get("algo", "sha256"))
+        elif act == "extract":
+            df = processors.attr_extract(df, a["key"], a["pattern"], a["groups"])
+        elif act == "convert":
+            df = processors.attr_convert(df, a["key"], a["to"])
+        else:
+            raise ValueError(f"unknown attributes action {act!r}")
+    return df
 
 
 _DIMS = {
@@ -109,6 +207,7 @@ def _stage_redact(df, spark, sf_dir, cfg):
         df, allowed_keys=cfg.get("allowed_keys"),
         mask_patterns=cfg.get("mask_patterns"),
         mask_cols=cfg.get("mask_cols"),
+        summary=cfg.get("summary"),
     )
 
 
@@ -123,6 +222,16 @@ STAGE_REGISTRY = {
     "key_value_parser": _stage_kv,
     "severity_parser": _stage_severity,
     "time_parser": _stage_time,
+    "csv_parser": _stage_csv,
+    "json_parser": _stage_json,
+    "uri_parser": _stage_uri,
+    "trace_parser": _stage_trace,
+    "syslog_parser": _stage_syslog,
+    "container_parser": _stage_container,
+    "otlpjson": _stage_otlpjson,
+    "recombine": _stage_recombine,
+    "logdedup": _stage_log_dedup,
+    "attributes": _stage_attributes,
     "enrich": _stage_enrich,
     "ottl": _stage_ottl,
     "filter": _stage_filter,

@@ -117,3 +117,71 @@ def test_yaml_config_roundtrip(spark, sf_dir, tmp_path):
         for r in pipeline.per_sink_counts(pipeline.build(spark, sf_dir)).collect()
     }
     assert got == expect
+
+
+def test_round2_stages_via_config(spark, sf_dir):
+    """Collector-config-style use of the round-2 operator surface:
+    severity custom mapping, attributes action list, redaction summary,
+    logdedup — each as one config block."""
+    from opentelemetry_collector_contrib_spark.sources import transcripts as src
+
+    from opentelemetry_collector_contrib_spark.schema import PARSE_PATTERN
+
+    cfg = {
+        "processors": [
+            {
+                "type": "regex_parser",
+                "pattern": PARSE_PATTERN,
+                "groups": ["ts_raw", "level", "component", "msg"],
+            },
+            {
+                "type": "severity_parser",
+                "mapping": {"error": ["oops"]},
+                "overwrite_text": True,
+            },
+            {
+                "type": "attributes",
+                "actions": [
+                    {"action": "upsert", "key": "pipeline", "value": "logs"},
+                    {"action": "convert", "key": "turn_idx", "to": "string"},
+                ],
+            },
+            {
+                "type": "redact",
+                "mask_patterns": {"ids": r"user=\d+"},
+                "mask_cols": ["text"],
+                "summary": "info",
+            },
+            {
+                "type": "logdedup",
+                "key_cols": ["role", "level"],
+            },
+        ],
+    }
+    out, sink_map = cfgp.build_from_config(spark, sf_dir, cfg)
+    assert sink_map == {}
+    rows = out.collect()
+    assert rows and {"role", "level", "log_count"} <= set(out.columns)
+    assert sum(r["log_count"] for r in rows) == src.transcripts_df(
+        spark, sf_dir
+    ).count()
+
+
+def test_otlpjson_and_csv_stages_via_config(spark):
+    env = (
+        '{"resourceLogs":[{"resource":{"attributes":[]},"scopeLogs":'
+        '[{"scope":{"name":"s","version":"1"},"logRecords":[{"timeUnixNano":"1",'
+        '"severityText":"Info","body":{"stringValue":"a,\\"b,1\\",c"},'
+        '"attributes":[]}]}]}]}'
+    )
+    source = spark.createDataFrame([(env,)], ["text"])
+    cfg = {
+        "processors": [
+            {"type": "otlpjson"},
+            {"type": "csv_parser", "header": ["f1", "f2", "f3"],
+             "parse_from": "body"},
+        ]
+    }
+    out, _ = cfgp.build_from_config(spark, "", cfg, source=source)
+    r = out.collect()[0]
+    assert r["scope_name"] == "s" and r["f2"] == "b,1" and r["parse_ok"]

@@ -189,3 +189,42 @@ def test_aqe_skew_join_backstop(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_scan_pruning_and_filter_pushdown(spark, sf_dir):
+    """Column pruning + predicate pushdown reach the parquet scan: a
+    2-column projection must read a 2-column ReadSchema, and the filter
+    must appear in PushedFilters — the difference between scanning 2
+    columns and scanning all of a 100 TB table."""
+    from opentelemetry_collector_contrib_spark.sources import documents as docsrc
+
+    docs = docsrc.documents_df(spark, sf_dir)
+    q = docs.filter(F.col("doc_id") < 100).select("doc_id", "lang")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "Scan parquet" in l or "FileScan" in l)
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,100)" in plan, plan
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in schema_line and "doc_id" in schema_line, schema_line
+
+
+def test_parse_pipeline_single_codegen_span(spark, sf_dir):
+    """The parse->severity->kv hot path stays inside whole-stage codegen
+    with no exchange and no Python (SURVEY §4 invariant)."""
+    from opentelemetry_collector_contrib_spark.operators import parsers
+    from opentelemetry_collector_contrib_spark.schema import (
+        PARSE_GROUPS,
+        PARSE_PATTERN,
+    )
+    from opentelemetry_collector_contrib_spark.sources import transcripts as src
+
+    turns = src.transcripts_df(spark, sf_dir)
+    out = parsers.severity_parse(
+        parsers.regex_parse(turns, PARSE_PATTERN, PARSE_GROUPS)
+    ).select("conv_id", "severity_num", "msg")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    body = plan.split("== Initial Plan ==")[0]
+    # the input-derivation window is upstream of the parse; the parse
+    # stages themselves must add no exchange beyond it and no Python
+    assert "ArrowEvalPython" not in body and "BatchEvalPython" not in body
+    # "*(n)" prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in body
