@@ -182,3 +182,86 @@ def test_with_file_attrs(spark, turns, tmp_path):
     r = df.select("log_file_path", "log_file_name").first()
     assert r["log_file_path"].endswith(".parquet")
     assert "/" not in r["log_file_name"] and r["log_file_name"].endswith(".parquet")
+
+
+def test_otlp_envelope_parse_in_stream(spark, turns, tmp_path):
+    """The OTLP-JSON envelope parse (from_json + explodes) is stateless,
+    so it runs unchanged under Structured Streaming — the
+    otlpjsonfilereceiver's tail-and-parse mode. Stream output must equal
+    the batch parse of the same envelope files."""
+    from opentelemetry_collector_contrib_spark.operators import parsers
+
+    inp = str(tmp_path / "envelopes")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    rec = F.struct(
+        F.lpad(F.col("turn_idx").cast("string"), 6, "0").alias("timeUnixNano"),
+        F.lit("INFO").alias("severityText"),
+        F.struct(F.col("text").alias("stringValue")).alias("body"),
+    )
+    env = (
+        turns.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list(rec)).alias("logRecords"))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.array(
+                                    F.struct(
+                                        F.lit("conv.id").alias("key"),
+                                        F.struct(
+                                            F.col("conv_id").alias("stringValue")
+                                        ).alias("value"),
+                                    )
+                                ).alias("attributes")
+                            ).alias("resource"),
+                            F.array(
+                                F.struct(
+                                    F.struct(
+                                        F.lit("s").alias("name"),
+                                        F.lit("1").alias("version"),
+                                    ).alias("scope"),
+                                    F.col("logRecords").alias("logRecords"),
+                                )
+                            ).alias("scopeLogs"),
+                        )
+                    ).alias("resourceLogs")
+                )
+            ).alias("text")
+        )
+    )
+    env.write.mode("overwrite").parquet(inp)
+
+    stream = spark.readStream.schema("text string").parquet(inp)
+    parsed = parsers.otlp_json_parse(stream).select(
+        F.col("resource_attrs")["conv.id"].alias("conv_id"),
+        F.col("time_unix_nano").alias("tidx"),
+        "body",
+    )
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            parsers.otlp_json_parse(spark.read.parquet(inp))
+            .select(
+                F.col("resource_attrs")["conv.id"].alias("conv_id"),
+                F.col("time_unix_nano").alias("tidx"),
+                "body",
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == turns.count()
