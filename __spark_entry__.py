@@ -668,8 +668,11 @@ sh2 AS (SELECT doc_id, shingle FROM (
           FROM toks2) WHERE shingle <> ''),
 sig2 AS (SELECT doc_id, {sig_cols} FROM sh2 GROUP BY doc_id),
 banded2 AS ({banded}),
+capped2 AS (SELECT * FROM banded2
+            QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id)
+            <= 1000),
 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded2 a JOIN banded2 b
+          FROM capped2 a JOIN capped2 b
           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
 drops AS (SELECT DISTINCT doc_b FROM pairs)
 SELECT e.doc_id, e.lang, e.n_chars, e.quality
@@ -1320,10 +1323,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash, "
             "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"
         ),
+        # capped CTE mirrors lsh_pairs' max_band_size=1000 hot-band guard
+        # (deterministic doc_id-ordered truncation) so engine and oracle
+        # agree under ANY band-size distribution, not just small ones
         "dedup_minhash_lsh": (
-            f"WITH {_TOKS_CTE}, {_SHINGLE_CTE}, {_SIG_CTE}, {_BANDED_CTE} "
+            f"WITH {_TOKS_CTE}, {_SHINGLE_CTE}, {_SIG_CTE}, {_BANDED_CTE}, "
+            "capped AS (SELECT * FROM banded "
+            "QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) "
+            "<= 1000) "
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            "FROM banded a JOIN banded b "
+            "FROM capped a JOIN capped b "
             "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"
         ),
         "dedup_simhash": (

@@ -129,7 +129,9 @@ def grok_parse(
         raise ValueError("grok pattern defines no named fields")
     jpattern = re.sub(r"\(\?P<[^>]+>", "(", rx)
     src = F.col(parse_from)
-    ok = src.rlike(jpattern)
+    # null input is a parse FAILURE (false), not null — the error
+    # channel must see every row on exactly one side
+    ok = src.isNotNull() & src.rlike(jpattern)
     cols = [
         F.when(ok, F.regexp_extract(src, jpattern, idx)).alias(name)
         for name, idx in sorted(compiled.groupindex.items(), key=lambda kv: kv[1])

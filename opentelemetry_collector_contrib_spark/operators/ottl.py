@@ -399,7 +399,10 @@ def _to_kv_string(m: Column, delim=None, pair_delim=None, sort_output=None) -> C
         raise ValueError("ToKeyValueString: invalid delimiters")
 
     def esc(c: Column) -> Column:
-        c = F.regexp_replace(c, '"', '\\\\"')
+        # escaping is unconditional, quoting only when a delimiter is
+        # present (escapeAndQuoteKV, func_to_key_value_string.go:109-121);
+        # null values render as empty (pcommon AsString of empty value)
+        c = F.regexp_replace(F.coalesce(c, F.lit("")), '"', '\\\\"')
         need = c.contains(d) | c.contains(p)
         return F.when(need, F.concat(F.lit('"'), c, F.lit('"'))).otherwise(c)
 
@@ -627,6 +630,14 @@ def _compile(node, ctx: _Ctx) -> Column:
         fn = CONVERTERS.get(node.name)
         if fn is None:
             raise ValueError(f"unknown converter {node.name!r}")
+        if node.kwargs:
+            # fail loudly rather than silently dropping a named arg the
+            # Spark implementation doesn't consume (parser.go rejects
+            # unknown parameters the same way)
+            raise ValueError(
+                f"{node.name}: named arguments {sorted(node.kwargs)} not "
+                "supported — pass positionally"
+            )
         return fn(*[_compile(a, ctx) for a in node.args])
     raise TypeError(type(node))
 
@@ -699,8 +710,22 @@ def _flatten_map_col(col: Column, dt, prefix: str, depth: int) -> Column:
     return col
 
 
+#: named arguments each editor consumes — anything else is a loud error,
+#: never silently dropped
+_EDITOR_KWARGS = {
+    "flatten": {"prefix", "depth", "resolveConflicts"},
+    "append": {"values"},
+    "limit": {"priority_keys"},
+}
+
+
 def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
     ed = st.editor
+    unknown_kw = set(ed.kwargs or {}) - _EDITOR_KWARGS.get(ed.name, set())
+    if unknown_kw:
+        raise ValueError(
+            f"{ed.name}: named arguments {sorted(unknown_kw)} not supported"
+        )
     cond = _compile(st.where, ctx) if st.where is not None else None
 
     def gated(col_name: str, new: Column) -> DataFrame:
@@ -784,6 +809,15 @@ def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
             fn = CONVERTERS.get(getattr(fn_node, "parts", [None])[0])
             if fn is None:
                 raise ValueError(f"replace_pattern: unknown function {fn_node!r}")
+            if "$" in repl.value:
+                # the reference applies the converter to each match's
+                # capture-EXPANDED replacement (func_replace_pattern.go);
+                # a per-match converter call isn't expressible in one
+                # regexp_replace, so refuse rather than hash the literal
+                raise ValueError(
+                    "replace_pattern: converter function with capture "
+                    "references in the replacement is not supported"
+                )
             repl_col = fn(F.lit(repl.value))
             return gated(
                 name, F.regexp_replace(F.col(name), F.lit(pattern.value), repl_col)
@@ -838,8 +872,13 @@ def _apply_editor(df: DataFrame, st: Statement, ctx: _Ctx) -> DataFrame:
         target, n = ed.args[:2]
         name = target.column_name()
         col = F.col(name)
-        if len(ed.args) > 2:
-            keys = [k.value for k in ed.args[2].items]
+        pri_node = (
+            ed.args[2]
+            if len(ed.args) > 2
+            else (ed.kwargs or {}).get("priority_keys")
+        )
+        if pri_node is not None:
+            keys = [k.value for k in pri_node.items]
             if n.value < len(keys):
                 raise ValueError(
                     f"limit {n.value} cannot be less than number of "

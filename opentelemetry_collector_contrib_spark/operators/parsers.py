@@ -81,7 +81,9 @@ def regex_parse(
     ``regexp_extract`` per named group. Catalyst CSEs the shared regex
     evaluation; the whole stage stays inside WholeStageCodegen."""
     src = F.col(parse_from)
-    ok = src.rlike(pattern)
+    # null input is a parse FAILURE (false, not null): error-channel
+    # routing filters on parse_ok and must see every row exactly once
+    ok = src.isNotNull() & src.rlike(pattern)
     cols = [
         F.when(ok, F.regexp_extract(src, pattern, i + 1)).alias(prefix + g)
         for i, g in enumerate(groups)
@@ -199,20 +201,24 @@ def csv_parse(
     a line ENDING in the delimiter is a valid trailing empty field
     (encoding/csv agrees), surfaced as '' rather than a parse failure."""
     del lazy_quotes  # accepted for config parity; default behavior already lazy
-    schema = ", ".join(f"`{h}` STRING" for h in header)
+    # one extra probe field detects rows with MORE fields than the
+    # header (Go csv.Reader ErrFieldCount parity on the long side too);
     # nullValue sentinel keeps quoted-empty fields as '' (otherwise the
     # CSV reader conflates them with missing fields)
+    probe = "_csv_probe"
+    schema = ", ".join(f"`{h}` STRING" for h in [*header, probe])
     parsed_col = F.from_csv(
         F.col(parse_from), schema, {"sep": delimiter, "nullValue": "\x01"}
     )
     tmp = "_csv"
     out = df.withColumn(tmp, parsed_col)
     fields = [F.col(f"{tmp}.{h}") for h in header]
-    ok_all = fields[0].isNotNull()
+    no_extra = F.col(f"{tmp}.{probe}").isNull()
+    ok_all = no_extra & fields[0].isNotNull()
     for f in fields[1:]:
         ok_all = ok_all & f.isNotNull()
     ok_trailing = (
-        F.col(parse_from).endswith(delimiter) & fields[-1].isNull()
+        no_extra & F.col(parse_from).endswith(delimiter) & fields[-1].isNull()
     )
     for f in fields[:-1]:
         ok_trailing = ok_trailing & f.isNotNull()
@@ -507,8 +513,7 @@ def otlp_json_parse(df: DataFrame, *, parse_from: str = "text") -> DataFrame:
     rows with null fields (the connector's error channel analog)."""
     env = F.from_json(F.col(parse_from), OTLP_LOGS_SCHEMA)
     out = (
-        df.withColumn("_env", env)
-        .withColumn("parse_ok", env["resourceLogs"].isNotNull())
+        df.withColumn("parse_ok", env["resourceLogs"].isNotNull())
         .withColumn("_rl", F.explode_outer(env["resourceLogs"]))
         .withColumn("_sl", F.explode_outer(F.col("_rl.scopeLogs")))
         .withColumn("_lr", F.explode_outer(F.col("_sl.logRecords")))

@@ -450,3 +450,36 @@ def test_replace_pattern_with_hash_function(spark):
         d, ["replace_pattern(v, '/', '@', SHA256)"]
     ).collect()[0]["v"]
     assert out == "a" + hashlib.sha256(b"@").hexdigest() + "b"
+
+
+def test_unknown_named_argument_errors_loudly(df):
+    with pytest.raises(ValueError):
+        ottl.apply_statements(df, ['set(x, Concat([role, "y"], sep="-"))'])
+    with pytest.raises(ValueError):
+        ottl.apply_statements(df, ['truncate_all(attrs, 5, bogus=1)'])
+
+
+def test_limit_priority_keys_named_form(df):
+    out = ottl.apply_statements(df, ['limit(attrs, 1, priority_keys=["b"])'])
+    got = {r["id"]: r["attrs"] for r in rows(out)}
+    assert got[1] == {"b": "xx"}
+
+
+def test_to_key_value_string_null_value_renders_empty(spark):
+    d = spark.createDataFrame([(1,)], ["id"]).withColumn(
+        "m",
+        F.map_from_arrays(
+            F.array(F.lit("a"), F.lit("b")),
+            F.array(F.lit("1"), F.lit(None).cast("string")),
+        ),
+    )
+    out = ottl.apply_statements(
+        d, ['set(s, ToKeyValueString(m, "=", " ", true))']
+    ).collect()[0]["s"]
+    assert out == "a=1 b="
+
+
+def test_replace_pattern_function_with_captures_refuses(spark):
+    d = spark.createDataFrame([("user=1",)], ["v"])
+    with pytest.raises(ValueError):
+        ottl.apply_statements(d, ["replace_pattern(v, 'user=(\\d+)', '$1', SHA256)"])

@@ -208,3 +208,33 @@ def test_enrich_cascade_chained_lookup(spark):
     assert got["p2"]["node"] == "node-2"
     # insert-if-absent: the pre-set node survives the level-2 lookup
     assert got["p3"]["node"] == "pre-set" and got["p3"]["team"] == "team-y"
+
+
+# ---------------------------------------------------------------------------
+# round-2 review regressions
+# ---------------------------------------------------------------------------
+
+def test_parse_ok_is_false_not_null_for_null_input(spark):
+    from opentelemetry_collector_contrib_spark.operators import grok
+    from opentelemetry_collector_contrib_spark.schema import (
+        PARSE_GROUPS,
+        PARSE_PATTERN,
+    )
+
+    d = spark.createDataFrame([("x",), (None,)], "text string")
+    r = parsers.regex_parse(d, PARSE_PATTERN, PARSE_GROUPS)
+    vals = [row["parse_ok"] for row in r.collect()]
+    assert vals.count(False) == 2 and None not in vals
+    g = grok.grok_parse(d, "%{WORD:w}")
+    gv = sorted((row["parse_ok"] for row in g.collect()), key=str)
+    assert None not in gv
+
+
+def test_csv_extra_fields_fail_parse(spark):
+    d = spark.createDataFrame([("a,b,c,extra",), ("a,b,c",)], ["text"])
+    rows = {r["f1"]: r["parse_ok"] for r in
+            parsers.csv_parse(d, ["f1", "f2", "f3"]).collect()}
+    # Go csv.Reader raises ErrFieldCount for too MANY fields as well
+    got = [r.asDict() for r in parsers.csv_parse(d, ["f1", "f2", "f3"]).collect()]
+    by_line = {g["text"]: g["parse_ok"] for g in got}
+    assert by_line["a,b,c"] is True and by_line["a,b,c,extra"] is False
