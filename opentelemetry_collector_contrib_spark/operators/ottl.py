@@ -41,10 +41,15 @@ from pyspark.sql import types as T
 
 from .parsers import strptime_to_java
 from .udf_converters import (
+    convert_attributes_to_elements_xml_udf,
+    convert_text_to_elements_xml_udf,
     fnv64a_udf,
+    get_xml_udf,
+    insert_xml_udf,
     murmur3_128_udf,
     parse_simplified_xml_udf,
     parse_xml_udf,
+    remove_xml_udf,
 )
 
 __all__ = ["compile_statement", "apply_statements", "Statement", "CONVERTERS"]
@@ -438,7 +443,10 @@ CONVERTERS: dict[str, callable] = {
     # string — Concat(values[], delimiter) per ottlfuncs/func_concat.go
     "Concat": lambda vals, sep: F.concat_ws(sep._lit, *vals),
     "Split": lambda x, sep: F.split(x, re.escape(sep._lit)),
-    "Trim": lambda x: F.trim(x),
+    # Trim(target [, cutset]) — optional trim string (func_trim.go)
+    "Trim": lambda x, cut=None: (
+        F.trim(x) if cut is None else F.trim(x, F.lit(cut._lit))
+    ),
     "ToUpperCase": lambda x: F.upper(x),
     "ToLowerCase": lambda x: F.lower(x),
     "ToSnakeCase": lambda x: _to_snake(x),
@@ -470,9 +478,22 @@ CONVERTERS: dict[str, callable] = {
     "Time": lambda x, fmt: F.to_timestamp(x, fmt._lit),
     "TruncateTime": lambda x, unit: F.date_trunc(unit._lit, x),
     "UnixSeconds": lambda x: F.unix_timestamp(x).cast("long"),
+    # reference names are UnixMilli/UnixMicro (func_unix_milli.go,
+    # func_unix_micro.go); the plural forms are kept as aliases
+    "UnixMilli": lambda x: (F.unix_timestamp(x) * 1000).cast("long"),
     "UnixMillis": lambda x: (F.unix_timestamp(x) * 1000).cast("long"),
+    "UnixMicro": lambda x: F.unix_micros(x),
     "UnixMicros": lambda x: F.unix_micros(x),
     "UnixNano": lambda x: F.unix_micros(x) * 1000,
+    # Unix(seconds [, nanoseconds]) -> timestamp (func_unix.go);
+    # sub-microsecond precision truncates to Spark's microsecond grain
+    "Unix": lambda sec, nanos=None: F.timestamp_micros(
+        sec.cast("long") * 1_000_000
+        + ((nanos.cast("long") / 1000).cast("long") if nanos is not None else F.lit(0))
+    ),
+    # Nanosecond(time) -> nanosecond component within the second
+    # (func_nanosecond.go); microsecond-grain timestamps yield µs*1000
+    "Nanosecond": lambda x: (F.unix_micros(x) % 1_000_000) * 1000,
     "Hour": lambda x: F.hour(x),
     "Minute": lambda x: F.minute(x),
     "Second": lambda x: F.second(x),
@@ -551,6 +572,25 @@ CONVERTERS: dict[str, callable] = {
     # reference's nested map; see udf_converters.py)
     "ParseXML": lambda x: parse_xml_udf(x.cast("string")),
     "ParseSimplifiedXML": lambda x: parse_simplified_xml_udf(x.cast("string")),
+    # XML editors over an ElementTree XPath subset (+ /@attr selection);
+    # func_get_xml.go / func_insert_xml.go / func_remove_xml.go /
+    # func_convert_*_xml.go — per-literal-xpath cached Arrow UDFs
+    "GetXML": lambda x, xp: get_xml_udf(xp._lit)(x.cast("string")),
+    "InsertXML": lambda x, xp, sub: insert_xml_udf(xp._lit)(
+        x.cast("string"), sub.cast("string")
+    ),
+    "RemoveXML": lambda x, xp: remove_xml_udf(xp._lit)(x.cast("string")),
+    "ConvertAttributesToElementsXML": lambda x, xp=None: (
+        convert_attributes_to_elements_xml_udf(
+            xp._lit if xp is not None else "//@*"
+        )(x.cast("string"))
+    ),
+    "ConvertTextToElementsXML": lambda x, xp=None, name=None: (
+        convert_text_to_elements_xml_udf(
+            xp._lit if xp is not None else "/",
+            name._lit if name is not None else "value",
+        )(x.cast("string"))
+    ),
 }
 
 

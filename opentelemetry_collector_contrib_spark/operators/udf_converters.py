@@ -23,6 +23,7 @@ UDFs; these run only where the user's statement calls them.
 
 from __future__ import annotations
 
+import functools
 import json
 import xml.etree.ElementTree as ET
 
@@ -37,6 +38,11 @@ __all__ = [
     "parse_xml_udf",
     "parse_simplified_xml_udf",
     "mmh3_x64_128",
+    "get_xml_udf",
+    "insert_xml_udf",
+    "remove_xml_udf",
+    "convert_attributes_to_elements_xml_udf",
+    "convert_text_to_elements_xml_udf",
 ]
 
 _MASK64 = (1 << 64) - 1
@@ -230,3 +236,236 @@ def parse_simplified_xml_udf(s: pd.Series) -> pd.Series:
         return json.dumps(wrapper, separators=(",", ":"), sort_keys=True)
 
     return s.map(one)
+
+
+# ---------------------------------------------------------------------------
+# XML editors (GetXML / InsertXML / RemoveXML / ConvertAttributesToElementsXML
+# / ConvertTextToElementsXML — func_get_xml.go:38-75, func_insert_xml.go:42-81,
+# func_remove_xml.go:42-75, func_convert_*_xml.go). xmlquery's full XPath is
+# replaced by ElementTree's XPath subset (tag paths, //, *, [@attr], [tag],
+# position), plus an explicit `/@name` or `/@*` attribute-selection suffix.
+# Inputs may be FRAGMENTS (multiple roots), as in the reference's
+# parseNodesXML; serialization uses ElementTree's canonical form (self-
+# closing `<b />` where the reference writes `<b></b>` — documented
+# serializer variance, not a structural one).
+# ---------------------------------------------------------------------------
+
+_WRAP = "__w__"
+
+
+def _wrap_fragment(s: str) -> ET.Element:
+    return ET.fromstring(f"<{_WRAP}>{s}</{_WRAP}>")
+
+
+def _unwrap(w: ET.Element) -> str:
+    out = ET.tostring(w, encoding="unicode")
+    head, tail = f"<{_WRAP}>", f"</{_WRAP}>"
+    if out.startswith(head):
+        return out[len(head) : -len(tail)]
+    return ""  # "<__w__ />": empty document
+
+
+def _split_attr_path(xpath: str) -> tuple[str, str | None]:
+    """'.//a/@id' -> ('.//a', 'id'); '//@*' -> ('.//*' incl. root, '*')."""
+    if "/@" in xpath:
+        elem, attr = xpath.rsplit("/@", 1)
+        return (elem or "."), attr
+    return xpath, None
+
+
+def _et_path(p: str) -> str:
+    # absolute reference paths are relative to the synthetic wrapper root
+    if p.startswith("//"):
+        return "." + p
+    if p.startswith("/"):
+        return "." + p
+    return p
+
+
+def _find(w: ET.Element, elem_path: str) -> list[ET.Element]:
+    p = _et_path(elem_path)
+    if p in (".", "./"):
+        return [w]
+    return w.findall(p)
+
+
+@functools.lru_cache(maxsize=256)
+def get_xml_udf(xpath: str):
+    elem_path, attr = _split_attr_path(xpath)
+
+    @pandas_udf(T.StringType())
+    def run(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            if v == "":
+                return ""
+            try:
+                w = _wrap_fragment(v)
+            except ET.ParseError:
+                return None
+            parts = []
+            for el in _find(w, elem_path):
+                if el is w:
+                    continue
+                if attr is None:
+                    parts.append(ET.tostring(el, encoding="unicode"))
+                elif attr == "*":
+                    parts.extend(el.attrib.values())
+                elif attr in el.attrib:
+                    parts.append(el.attrib[attr])
+            return "".join(parts)
+
+        return s.map(one)
+
+    return run
+
+
+@functools.lru_cache(maxsize=256)
+def insert_xml_udf(xpath: str):
+    elem_path, attr = _split_attr_path(xpath)
+    if attr is not None:
+        raise ValueError("InsertXML XPath must select elements, not attributes")
+
+    @pandas_udf(T.StringType())
+    def run(s: pd.Series, sub: pd.Series) -> pd.Series:
+        def one(v, subdoc):
+            if v is None or subdoc is None:
+                return None
+            try:
+                w = _wrap_fragment(v)
+                sw = _wrap_fragment(subdoc)
+            except ET.ParseError:
+                return None
+            children = list(sw)
+            for el in _find(w, elem_path):
+                for c in children:
+                    el.append(c)
+            return _unwrap(w)
+
+        return pd.Series([one(v, sv) for v, sv in zip(s, sub)], index=s.index)
+
+    return run
+
+
+@functools.lru_cache(maxsize=256)
+def remove_xml_udf(xpath: str):
+    elem_path, attr = _split_attr_path(xpath)
+
+    @pandas_udf(T.StringType())
+    def run(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            if v == "":
+                return ""
+            try:
+                w = _wrap_fragment(v)
+            except ET.ParseError:
+                return None
+            matched = _find(w, elem_path)
+            if attr is not None:
+                for el in matched:
+                    if attr == "*":
+                        el.attrib.clear()
+                    else:
+                        el.attrib.pop(attr, None)
+            else:
+                parents = {c: p for p in w.iter() for c in p}
+                for el in matched:
+                    if el is not w and el in parents:
+                        parents[el].remove(el)
+            return _unwrap(w)
+
+        return s.map(one)
+
+    return run
+
+
+@functools.lru_cache(maxsize=256)
+def convert_attributes_to_elements_xml_udf(xpath: str = "//@*"):
+    elem_path, attr = _split_attr_path(xpath)
+
+    @pandas_udf(T.StringType())
+    def run(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                w = _wrap_fragment(v)
+            except ET.ParseError:
+                return None
+            targets = (
+                list(w.iter())
+                if elem_path in (".", "/", "./", "//")
+                else _find(w, elem_path)
+            )
+            for el in targets:
+                if el is w:
+                    continue
+                names = (
+                    list(el.attrib) if attr in (None, "*") else
+                    ([attr] if attr in el.attrib else [])
+                )
+                for name in names:
+                    child = ET.SubElement(el, name)
+                    child.text = el.attrib[name]
+                    del el.attrib[name]
+            return _unwrap(w)
+
+        return s.map(one)
+
+    return run
+
+
+def _wrap_text_nodes(el: ET.Element, element_name: str) -> None:
+    """convertTextToElementsForNode: when an element mixes text with
+    child elements (or holds several text runs), each text run is wrapped
+    in a dedicated <element_name> element."""
+    children = list(el)
+    for c in children:
+        _wrap_text_nodes(c, element_name)
+    value_count = int(bool(el.text and el.text.strip())) + sum(
+        1 for c in children if c.tail and c.tail.strip()
+    )
+    if value_count == 0 or len(children) + value_count <= 1:
+        return
+    if el.text and el.text.strip():
+        v = ET.Element(element_name)
+        v.text = el.text.strip()
+        el.insert(0, v)
+        el.text = None
+    for c in list(el):
+        if c.tail and c.tail.strip():
+            v = ET.Element(element_name)
+            v.text = c.tail.strip()
+            c.tail = None
+            idx = list(el).index(c)
+            el.insert(idx + 1, v)
+
+    return
+
+
+@functools.lru_cache(maxsize=256)
+def convert_text_to_elements_xml_udf(xpath: str = "/", element_name: str = "value"):
+    elem_path, attr = _split_attr_path(xpath)
+    if attr is not None:
+        raise ValueError("ConvertTextToElementsXML XPath must select elements")
+
+    @pandas_udf(T.StringType())
+    def run(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                w = _wrap_fragment(v)
+            except ET.ParseError:
+                return None
+            roots = [w] if elem_path in (".", "/", "./") else _find(w, elem_path)
+            for el in roots:
+                _wrap_text_nodes(el, element_name)
+            return _unwrap(w)
+
+        return s.map(one)
+
+    return run

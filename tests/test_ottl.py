@@ -483,3 +483,58 @@ def test_replace_pattern_function_with_captures_refuses(spark):
     d = spark.createDataFrame([("user=1",)], ["v"])
     with pytest.raises(ValueError):
         ottl.apply_statements(d, ["replace_pattern(v, 'user=(\\d+)', '$1', SHA256)"])
+
+
+def test_xml_editors(spark):
+    d = spark.createDataFrame(
+        [('<a id="1"><b>x</b><b>y</b><c k="v">z</c></a>',)], ["x"]
+    )
+    out = ottl.apply_statements(
+        d,
+        [
+            'set(got, GetXML(x, "//b"))',
+            'set(attr, GetXML(x, "//c/@k"))',
+            'set(removed, RemoveXML(x, "//b"))',
+            'set(ins, InsertXML(x, "/a/c", "<d>new</d>"))',
+            'set(conv, ConvertAttributesToElementsXML(x))',
+        ],
+    ).collect()[0]
+    assert out["got"] == "<b>x</b><b>y</b>"
+    assert out["attr"] == "v"
+    assert "<b>" not in out["removed"] and "<c" in out["removed"]
+    assert "<d>new</d>" in out["ins"]
+    assert "<id>1</id>" in out["conv"] and 'id="1"' not in out["conv"]
+    assert "<k>v</k>" in out["conv"]
+
+
+def test_convert_text_to_elements_xml(spark):
+    d = spark.createDataFrame([("<a><b/>foo</a>",)], ["x"])
+    out = ottl.apply_statements(
+        d, ["set(y, ConvertTextToElementsXML(x))"]
+    ).collect()[0]["y"]
+    assert "<value>foo</value>" in out and "<b" in out
+
+
+def test_unix_and_nanosecond_converters(spark):
+    d = spark.createDataFrame([(1700000000, 123456789)], "sec long, nanos long")
+    out = ottl.apply_statements(
+        d,
+        [
+            "set(t, Unix(sec, nanos))",
+            "set(t0, Unix(sec))",
+            "set(ns, Nanosecond(Unix(sec, nanos)))",
+            "set(um, UnixMicro(Unix(sec)))",
+            "set(umi, UnixMilli(Unix(sec)))",
+        ],
+    ).collect()[0]
+    assert out["um"] == 1_700_000_000_000_000
+    assert out["umi"] == 1_700_000_000_000
+    # µs-grain: 123456789ns -> 123456µs -> 123456000ns component
+    assert out["ns"] == 123_456_000
+    assert str(out["t0"]).startswith("2023-11-14")
+
+
+def test_trim_cutset(spark):
+    d = spark.createDataFrame([("xxhixx",)], ["v"])
+    out = ottl.apply_statements(d, ['set(t, Trim(v, "x"))']).collect()[0]["t"]
+    assert out == "hi"
