@@ -654,6 +654,11 @@ def _compile(node, ctx: _Ctx) -> Column:
             return _compile(node.args[0], ctx).try_cast(
                 "long" if node.name == "Int" else "double"
             )
+        if node.name == "Time" and ctx.error_mode in ("ignore", "silent"):
+            # ANSI to_timestamp raises on malformed input — under ignore
+            # the statement must null out and flow on instead
+            x = _compile(node.args[0], ctx)
+            return F.try_to_timestamp(x, F.lit(node.args[1].value))
         if node.name in _TYPE_PREDICATES:
             # OTTL type predicates check the VALUE type per record; in a
             # typed columnar model a column's type is static, so these

@@ -138,6 +138,7 @@ def recombine(
     is_last: Column | None = None,
     is_first: Column | None = None,
     max_batch_size: int | None = None,
+    max_log_size: int | None = None,
     overwrite_with: str = "oldest",
 ) -> DataFrame:
     """recombine transformer (transformer/recombine/transformer.go:25-232):
@@ -178,6 +179,13 @@ def recombine(
     else:
         tagged = tagged.withColumn("_gid2", F.lit(0))
     pair = F.struct(F.col(order_col).alias("o"), F.col(combine_field).alias("t"))
+    if max_log_size is not None:
+        return _recombine_by_bytes(
+            tagged, pair, source_col=source_col, order_col=order_col,
+            combine_field=combine_field, combine_with=combine_with,
+            max_log_size=max_log_size, overwrite_with=overwrite_with,
+            order_dtype=dict(df.dtypes)[order_col],
+        )
     # base-entry choice (transformer.go:154-166): oldest keeps the first
     # row's order key, newest the last's
     base_order = (
@@ -194,6 +202,81 @@ def recombine(
             F.count(F.lit(1)).alias("n_combined"),
         )
         .drop("_gid", "_gid2")
+    )
+
+
+def _recombine_by_bytes(
+    tagged: DataFrame,
+    pair: Column,
+    *,
+    source_col: str,
+    order_col: str,
+    combine_field: str,
+    combine_with: str,
+    max_log_size: int,
+    overwrite_with: str,
+    order_dtype: str,
+) -> DataFrame:
+    """max_log_size flush (recombine transformer.go:188): an entry is
+    ADDED to the batch, then the batch flushes once the concatenated
+    length exceeds the cap — so a batch may exceed the cap by its last
+    entry, and the next entry opens a fresh batch.
+
+    Greedy reset-on-flush bucketing can't be a window running sum (each
+    reset depends on the previous one), so each group's sorted entry
+    array is split by ONE ``F.aggregate`` fold — per-row JVM execution,
+    no UDF — into an array of sub-batches, then exploded."""
+    sep_len = len(combine_with)
+    pair_t = "struct<o:bigint,t:string>"
+    zero = F.expr(
+        f"named_struct('batches', cast(array() as array<array<{pair_t}>>), "
+        f"'cur', cast(array() as array<{pair_t}>), 'sz', cast(0 as bigint))"
+    )
+
+    def merge(acc, x):
+        grown = F.concat(acc["cur"], F.array(x))
+        new_sz = (
+            acc["sz"]
+            + F.when(F.size(acc["cur"]) > 0, F.lit(sep_len)).otherwise(F.lit(0))
+            + F.length(x["t"])
+        ).cast("bigint")
+        overflow = new_sz > max_log_size
+        return F.struct(
+            F.when(overflow, F.concat(acc["batches"], F.array(grown)))
+            .otherwise(acc["batches"])
+            .alias("batches"),
+            F.when(overflow, F.expr(f"cast(array() as array<{pair_t}>)"))
+            .otherwise(grown)
+            .alias("cur"),
+            F.when(overflow, F.lit(0).cast("bigint"))
+            .otherwise(new_sz)
+            .alias("sz"),
+        )
+
+    def finish(acc):
+        return F.when(
+            F.size(acc["cur"]) > 0, F.concat(acc["batches"], F.array(acc["cur"]))
+        ).otherwise(acc["batches"])
+
+    typed_pair = F.struct(
+        pair["o"].cast("bigint").alias("o"), pair["t"].alias("t")
+    )
+    grouped = tagged.groupBy(source_col, "_gid", "_gid2").agg(
+        F.array_sort(F.collect_list(typed_pair)).alias("_pairs")
+    )
+    batches = F.aggregate(F.col("_pairs"), zero, merge, finish)
+    b = F.col("_b")
+    base = b[F.size(b) - 1]["o"] if overwrite_with == "newest" else b[0]["o"]
+    return (
+        grouped.select(source_col, F.explode(batches).alias("_b"))
+        .select(
+            F.col(source_col),
+            F.concat_ws(
+                combine_with, F.transform(b, lambda x: x["t"])
+            ).alias(combine_field),
+            base.cast(order_dtype).alias(order_col),
+            F.size(b).cast("long").alias("n_combined"),
+        )
     )
 
 

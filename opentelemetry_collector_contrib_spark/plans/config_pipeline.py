@@ -140,6 +140,7 @@ def _stage_recombine(df, spark, sf_dir, cfg):
         combine_field=cfg.get("combine_field", "text"),
         combine_with=cfg.get("combine_with", "\n"),
         max_batch_size=cfg.get("max_batch_size"),
+        max_log_size=cfg.get("max_log_size"),
         overwrite_with=cfg.get("overwrite_with", "oldest"),
         **kw,
     )

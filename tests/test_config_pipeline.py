@@ -185,3 +185,31 @@ def test_otlpjson_and_csv_stages_via_config(spark):
     out, _ = cfgp.build_from_config(spark, "", cfg, source=source)
     r = out.collect()[0]
     assert r["scope_name"] == "s" and r["f2"] == "b,1" and r["parse_ok"]
+
+
+def test_recombine_max_log_size(spark):
+    from opentelemetry_collector_contrib_spark.operators import transformers
+
+    # one conversation, entries of 4 chars, joined by '\n' (1 char):
+    # cap=9 -> entry1(4) + sep+entry2(5) = 9 (not >cap), adding entry3
+    # pushes to 14 > 9 -> flush [e1,e2,e3]; e4,e5 continue
+    d = spark.createDataFrame(
+        [("c", i, f"t{i:03d}") for i in range(5)],
+        ["conv_id", "turn_idx", "text"],
+    )
+    out = transformers.recombine(
+        d,
+        is_first=F.lit(False),  # one logical group; splitting is by bytes
+        max_log_size=9,
+    ).orderBy("turn_idx").collect()
+    texts = [r["text"] for r in out]
+    assert texts == ["t000\nt001\nt002", "t003\nt004"]
+    assert [r["n_combined"] for r in out] == [3, 2]
+    assert [r["turn_idx"] for r in out] == [0, 3]
+    # newest base keeps the last order key of each sub-batch
+    newest = transformers.recombine(
+        d, is_first=F.lit(False), max_log_size=9, overwrite_with="newest"
+    ).orderBy("turn_idx").collect()
+    assert [r["turn_idx"] for r in newest] == [2, 4]
+    # total rows preserved
+    assert sum(r["n_combined"] for r in out) == 5
