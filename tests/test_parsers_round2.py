@@ -238,3 +238,40 @@ def test_csv_extra_fields_fail_parse(spark):
     got = [r.asDict() for r in parsers.csv_parse(d, ["f1", "f2", "f3"]).collect()]
     by_line = {g["text"]: g["parse_ok"] for g in got}
     assert by_line["a,b,c"] is True and by_line["a,b,c,extra"] is False
+
+
+# ---------------------------------------------------------------------------
+# filelog-style text source + multiline split (fileconsumer/config.go:84)
+# ---------------------------------------------------------------------------
+
+def test_read_text_logs_with_multiline_split(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sources import textlogs
+
+    log1 = tmp_path / "app1.log"
+    log1.write_text(
+        "2024-01-01 INFO start\n"
+        "2024-01-01 ERROR boom\n"
+        "  at com.example.Foo(Foo.java:1)\n"
+        "  at com.example.Bar(Bar.java:2)\n"
+        "2024-01-01 INFO recovered\n"
+    )
+    log2 = tmp_path / "app2.log"
+    log2.write_text("2024-02-02 WARN solo\n")
+
+    flat = textlogs.read_text_logs(spark, str(tmp_path / "*.log"))
+    assert flat.count() == 6
+    assert set(r["log_file_name"] for r in flat.collect()) == {
+        "app1.log", "app2.log"
+    }
+
+    merged = textlogs.read_text_logs(
+        spark, str(tmp_path / "*.log"), multiline_start=r"^\d{4}-\d{2}-\d{2} "
+    )
+    rows = sorted(
+        (r["log_file_name"], r["text"], r["n_combined"])
+        for r in merged.collect()
+    )
+    assert len(rows) == 4
+    boom = next(r for r in rows if "boom" in r[1])
+    assert boom[2] == 3 and "Bar.java:2" in boom[1]
+    assert ("app2.log", "2024-02-02 WARN solo", 1) in rows
