@@ -201,34 +201,33 @@ def csv_parse(
     a line ENDING in the delimiter is a valid trailing empty field
     (encoding/csv agrees), surfaced as '' rather than a parse failure."""
     del lazy_quotes  # accepted for config parity; default behavior already lazy
-    # one extra probe field detects rows with MORE fields than the
-    # header (Go csv.Reader ErrFieldCount parity on the long side too);
-    # nullValue sentinel keeps quoted-empty fields as '' (otherwise the
-    # CSV reader conflates them with missing fields)
-    probe = "_csv_probe"
-    schema = ", ".join(f"`{h}` STRING" for h in [*header, probe])
+    src = F.col(parse_from)
+    # Go csv.Reader ErrFieldCount parity, BOTH directions: the true
+    # field count comes from counting delimiters OUTSIDE quoted regions
+    # (strip "..." spans — including any delimiters inside them — then
+    # split). Empty unquoted fields are VALID ("a,,c" = 3 fields), which
+    # the CSV reader alone can't distinguish from missing fields (it
+    # nulls both); the count disambiguates, and null fields on valid
+    # rows coalesce to '' exactly as encoding/csv returns them.
+    stripped = F.regexp_replace(src, '"[^"]*"', "")
+    n_fields = F.size(F.split(stripped, re.escape(delimiter), -1))
+    parse_ok = src.isNotNull() & (n_fields == len(header))
+    # nullValue sentinel keeps quoted-empty fields as '' in the parser
+    schema = ", ".join(f"`{h}` STRING" for h in header)
+    # escape='"' selects RFC-4180 doubled-quote escaping ("wi""th"),
+    # the encoding/csv dialect, over Spark's default backslash escape
     parsed_col = F.from_csv(
-        F.col(parse_from), schema, {"sep": delimiter, "nullValue": "\x01"}
+        src, schema, {"sep": delimiter, "nullValue": "\x01", "escape": '"'}
     )
     tmp = "_csv"
-    out = df.withColumn(tmp, parsed_col)
-    fields = [F.col(f"{tmp}.{h}") for h in header]
-    no_extra = F.col(f"{tmp}.{probe}").isNull()
-    ok_all = no_extra & fields[0].isNotNull()
-    for f in fields[1:]:
-        ok_all = ok_all & f.isNotNull()
-    ok_trailing = (
-        no_extra & F.col(parse_from).endswith(delimiter) & fields[-1].isNull()
-    )
-    for f in fields[:-1]:
-        ok_trailing = ok_trailing & f.isNotNull()
-    last = F.when(ok_trailing, F.lit("")).otherwise(fields[-1])
-    return out.select(
-        *df.columns,
-        (ok_all | ok_trailing).alias("parse_ok"),
-        *[fields[i].alias(h) for i, h in enumerate(header[:-1])],
-        last.alias(header[-1]),
-    )
+    out = df.withColumn(tmp, parsed_col).withColumn("parse_ok", parse_ok)
+    fields = [
+        F.when(
+            F.col("parse_ok"), F.coalesce(F.col(f"{tmp}.{h}"), F.lit(""))
+        ).otherwise(F.col(f"{tmp}.{h}")).alias(h)
+        for h in header
+    ]
+    return out.select(*df.columns, "parse_ok", *fields)
 
 
 def key_value_parse(

@@ -275,3 +275,36 @@ def test_read_text_logs_with_multiline_split(spark, tmp_path):
     boom = next(r for r in rows if "boom" in r[1])
     assert boom[2] == 3 and "Bar.java:2" in boom[1]
     assert ("app2.log", "2024-02-02 WARN solo", 1) in rows
+
+
+def test_csv_empty_unquoted_fields_are_valid(spark):
+    d = spark.createDataFrame([("a,,c",), (",b,c",), (",,",)], ["text"])
+    got = {r["text"]: r.asDict() for r in
+           parsers.csv_parse(d, ["f1", "f2", "f3"]).collect()}
+    assert got["a,,c"]["parse_ok"] and got["a,,c"]["f2"] == ""
+    assert got[",b,c"]["parse_ok"] and got[",b,c"]["f1"] == ""
+    assert got[",,"]["parse_ok"] and got[",,"]["f3"] == ""
+
+
+def test_csv_roundtrip_against_python_csv(spark):
+    """Rows written by Python's csv module (same dialect family as Go
+    encoding/csv) must parse back to the original fields."""
+    import csv
+    import io
+    import random
+
+    rng = random.Random(7)
+    pool = ["plain", 'wi"th', "co,mma", "", "sp ace", 'q"u,o"t', "nl"]
+    rows = [tuple(rng.choice(pool) for _ in range(3)) for _ in range(40)]
+    lines = []
+    for t in rows:
+        buf = io.StringIO()
+        csv.writer(buf, lineterminator="").writerow(t)
+        lines.append((buf.getvalue(),))
+    d = spark.createDataFrame(lines, ["text"])
+    got = parsers.csv_parse(d, ["f1", "f2", "f3"]).collect()
+    by_line = {r["text"]: (r["parse_ok"], r["f1"], r["f2"], r["f3"]) for r in got}
+    for t, (line,) in zip(rows, lines):
+        ok, f1, f2, f3 = by_line[line]
+        assert ok, line
+        assert (f1, f2, f3) == t, (line, (f1, f2, f3), t)

@@ -59,3 +59,35 @@ def test_grok_expansion_always_compiles(parts):
 def test_grok_literal_text_passthrough(text):
     # text with no %{...} references expands to itself
     assert grok.grok_to_regex(text) == text
+
+
+# ---------------------------------------------------------------------------
+# round-2 pure-Python layers: murmur3/fnv vs reference algorithms, gotime
+# translation totality
+# ---------------------------------------------------------------------------
+
+from opentelemetry_collector_contrib_spark.operators import parsers  # noqa: E402
+from opentelemetry_collector_contrib_spark.operators.udf_converters import (  # noqa: E402
+    mmh3_x64_128,
+)
+
+
+@given(data=st.binary(max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_murmur3_reference_identities(data):
+    h1, h2 = mmh3_x64_128(data)
+    assert 0 <= h1 < 2**64 and 0 <= h2 < 2**64
+    # deterministic and length-sensitive (appending a byte changes it)
+    assert (h1, h2) == mmh3_x64_128(data)
+    if data:
+        assert (h1, h2) != mmh3_x64_128(data + b"\x00")
+
+
+@given(layout=st.text(alphabet="20061545 -/:.TZJanMonPM", max_size=16))
+@settings(max_examples=100, deadline=None)
+def test_gotime_translation_total(layout):
+    # translation must never raise and must quote all residual letters
+    out = parsers.gotime_to_java(layout)
+    # any unquoted letters must come from the known Java tokens
+    bare = re.sub(r"'[^']*'", "", out)
+    assert re.fullmatch(r"[yMdHhmsSEXaz \-/:.0-9]*", bare), (layout, out)
