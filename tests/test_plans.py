@@ -228,3 +228,21 @@ def test_parse_pipeline_single_codegen_span(spark, sf_dir):
     assert "ArrowEvalPython" not in body and "BatchEvalPython" not in body
     # "*(n)" prefixes mark whole-stage-codegen spans in the plan string
     assert "*(1)" in body
+
+
+def test_write_stage_lineage_from_stored_files(spark, turns, tmp_path):
+    """with_lineage metrics come from re-reading the written parquet
+    (one cheap scan over stored files), and their totals match the data
+    actually persisted — including the error counter."""
+    base = str(tmp_path)
+    df = turns.select(
+        "conv_id", "turn_idx", (F.col("turn_idx") % 5 == 0).alias("is_err")
+    )
+    cp.write_stage(df, base, "st", with_lineage=True, error_col="is_err")
+    stored = cp.read_stage(spark, base, "st")
+    lin = spark.read.parquet(f"{base}/st._lineage")
+    rows = lin.collect()
+    assert all(r["stage"] == "st" for r in rows)
+    assert sum(r["rows"] for r in rows) == stored.count()
+    assert sum(r["errors"] for r in rows) == stored.filter("is_err").count()
+    assert cp.stage_done(base, "st")
