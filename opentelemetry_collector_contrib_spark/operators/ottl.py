@@ -47,6 +47,7 @@ from .udf_converters import (
     get_xml_udf,
     insert_xml_udf,
     murmur3_128_udf,
+    murmur3_32_udf,
     parse_simplified_xml_udf,
     parse_xml_udf,
     remove_xml_udf,
@@ -562,7 +563,10 @@ CONVERTERS: dict[str, callable] = {
     "SHA1": lambda x: F.sha1(x.cast("string")),
     "SHA256": lambda x: F.sha2(x.cast("string"), 256),
     "SHA512": lambda x: F.sha2(x.cast("string"), 512),
-    "Murmur3Hash": lambda x: F.hash(x).cast("string"),  # 32-bit murmur3 (Spark-native)
+    # exact murmur3 Sum32, hex little-endian (func_murmur3_hash.go:35-47);
+    # for hot-path 32-bit hashing prefer the JVM-native F.hash (also
+    # murmur3-32, but Spark's seed/encoding — different output format)
+    "Murmur3Hash": lambda x: murmur3_32_udf(x.cast("string")),
     # FNV-1a 64 / murmur3 x64-128 have no JVM builtin; Arrow-batched
     # numpy/python implementations (operators/udf_converters.py)
     "FNV": lambda x: fnv64a_udf(x.cast("string")),

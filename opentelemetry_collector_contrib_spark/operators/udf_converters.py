@@ -38,6 +38,8 @@ __all__ = [
     "parse_xml_udf",
     "parse_simplified_xml_udf",
     "mmh3_x64_128",
+    "mmh3_x86_32",
+    "murmur3_32_udf",
     "get_xml_udf",
     "insert_xml_udf",
     "remove_xml_udf",
@@ -469,3 +471,47 @@ def convert_text_to_elements_xml_udf(xpath: str = "/", element_name: str = "valu
         return s.map(one)
 
     return run
+
+
+def mmh3_x86_32(key: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (Appleby's public-domain algorithm; the
+    reference's murmur3.Sum32)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    m32 = 0xFFFFFFFF
+    h = seed
+    nblocks = len(key) // 4
+    for i in range(nblocks):
+        k = int.from_bytes(key[i * 4 : i * 4 + 4], "little")
+        k = (k * c1) & m32
+        k = ((k << 15) | (k >> 17)) & m32
+        k = (k * c2) & m32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & m32
+        h = (h * 5 + 0xE6546B64) & m32
+    tail = key[nblocks * 4 :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & m32
+        k = ((k << 15) | (k >> 17)) & m32
+        k = (k * c2) & m32
+        h ^= k
+    h ^= len(key)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m32
+    h ^= h >> 16
+    return h
+
+
+@pandas_udf(T.StringType())
+def murmur3_32_udf(s: pd.Series) -> pd.Series:
+    """Murmur3Hash (func_murmur3_hash.go:35-47): hex of the LITTLE-ENDIAN
+    bytes of murmur3 Sum32 over the UTF-8 input."""
+
+    def one(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        return mmh3_x86_32(str(v).encode("utf-8")).to_bytes(4, "little").hex()
+
+    return s.map(one)

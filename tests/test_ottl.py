@@ -538,3 +538,15 @@ def test_trim_cutset(spark):
     d = spark.createDataFrame([("xxhixx",)], ["v"])
     out = ottl.apply_statements(d, ['set(t, Trim(v, "x"))']).collect()[0]["t"]
     assert out == "hi"
+
+
+def test_murmur3_32_known_vector(spark):
+    # murmur3 Sum32("hello") = 0x248bfa47 -> LE hex "47fa8b24"
+    d = spark.createDataFrame([("hello",)], ["s"])
+    out = ottl.apply_statements(d, ["set(h, Murmur3Hash(s))"]).collect()[0]["h"]
+    assert out == "47fa8b24"
+    from opentelemetry_collector_contrib_spark.operators.udf_converters import (
+        mmh3_x86_32,
+    )
+    assert mmh3_x86_32(b"hello") == 0x248BFA47
+    assert mmh3_x86_32(b"") == 0
