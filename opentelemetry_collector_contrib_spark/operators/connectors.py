@@ -146,6 +146,7 @@ def write_routed(
     files_per_sink: int | None = None,
     salt_col: str = "conv_id",
     compression: str | None = None,
+    max_records_per_file: int | None = None,
 ) -> dict[str, str]:
     """Exporter stage: one partitioned write fans rows out to per-sink
     tables (fileexporter group_by semantics,
@@ -173,6 +174,11 @@ def write_routed(
         # fileexporter compression passthrough (exporter/fileexporter/
         # config.go:22-52): codec applies per output file
         writer = writer.option("compression", compression)
+    if max_records_per_file is not None:
+        # rotation analog (fileexporter rotation.max_megabytes/backups,
+        # config.go:31-43): bound each output file; Spark rolls to a new
+        # file within the same task once the cap is hit
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.save(path)
     sinks = sorted({s for v in sink_map.values() for s in v})
     return {s: f"{path}/sink={s}" for s in sinks}

@@ -246,3 +246,23 @@ def test_write_stage_lineage_from_stored_files(spark, turns, tmp_path):
     assert sum(r["rows"] for r in rows) == stored.count()
     assert sum(r["errors"] for r in rows) == stored.filter("is_err").count()
     assert cp.stage_done(base, "st")
+
+
+def test_write_routed_rotation_bounds_file_size(spark, turns, tmp_path):
+    """fileexporter rotation analog: maxRecordsPerFile bounds every
+    output file; all rows still land exactly once."""
+    import glob
+
+    tagged = turns.withColumn("_route", F.lit("all"))
+    paths = connectors.write_routed(
+        tagged, {"all": ["only"]}, str(tmp_path),
+        max_records_per_file=100, files_per_sink=2,
+    )
+    files = glob.glob(paths["only"] + "/*.parquet")
+    assert files
+    total = 0
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= 100, f
+        total += n
+    assert total == turns.count()
