@@ -339,9 +339,17 @@ def _duration_nanos(x: Column) -> Column:
         lambda acc, s: acc + F.regexp_extract(s, _DUR_SEG, 1).cast("double") * mult(s),
     )
     signed = F.when(x.startswith("-"), -total).otherwise(total)
-    # Go errors on a unit-less/invalid string; error-channel analog: null
-    return F.when(F.size(segs) > 0, signed.cast("long")).otherwise(
-        F.lit(None).cast("long")
+    # Go errors on a unit-less/invalid/partially-valid string ("5s junk",
+    # "1h-30m"): error-channel analog = null. Strict full-match: removing
+    # every valid segment must leave only an optional leading sign.
+    unsigned = F.regexp_replace(x, r"^[+-]", "")
+    covered = F.regexp_replace(unsigned, F.lit(_DUR_SEG), F.lit("")) == ""
+    # time.ParseDuration special-cases bare "0" (no unit) as valid
+    zero = unsigned == "0"
+    return (
+        F.when(zero, F.lit(0).cast("long"))
+        .when((F.size(segs) > 0) & covered, signed.cast("long"))
+        .otherwise(F.lit(None).cast("long"))
     )
 
 
@@ -476,7 +484,9 @@ CONVERTERS: dict[str, callable] = {
     "String": lambda x: x.cast("string"),
     "Log": lambda x: F.log(x),
     # time
-    "Time": lambda x, fmt: F.to_timestamp(x, fmt._lit),
+    # Time takes a strptime format (func_time.go via StrptimeToGotime),
+    # same family as FormatTime — translate before handing to Java.
+    "Time": lambda x, fmt: F.to_timestamp(x, strptime_to_java(fmt._lit)),
     "TruncateTime": lambda x, unit: F.date_trunc(unit._lit, x),
     "UnixSeconds": lambda x: F.unix_timestamp(x).cast("long"),
     # reference names are UnixMilli/UnixMicro (func_unix_milli.go,
@@ -662,7 +672,9 @@ def _compile(node, ctx: _Ctx) -> Column:
             # ANSI to_timestamp raises on malformed input — under ignore
             # the statement must null out and flow on instead
             x = _compile(node.args[0], ctx)
-            return F.try_to_timestamp(x, F.lit(node.args[1].value))
+            return F.try_to_timestamp(
+                x, F.lit(strptime_to_java(node.args[1].value))
+            )
         if node.name in _TYPE_PREDICATES:
             # OTTL type predicates check the VALUE type per record; in a
             # typed columnar model a column's type is static, so these

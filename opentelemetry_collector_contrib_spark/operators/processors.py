@@ -230,7 +230,13 @@ def redact(
     flags: list[tuple[str, F.Column]] = []
     masked_exprs: dict[str, F.Column] = {}
     if mask_patterns:
-        targets = mask_cols or [c for c, t in out.dtypes if t == "string"]
+        # a mask target already dropped by allowed_keys simply doesn't
+        # exist to mask (reference proceeds; no unresolved-column error)
+        targets = [
+            c
+            for c in (mask_cols or [c for c, t in out.dtypes if t == "string"])
+            if c in out.columns
+        ]
         for col in targets:
             orig = F.col(col)
             v = orig

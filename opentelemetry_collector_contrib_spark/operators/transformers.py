@@ -227,7 +227,11 @@ def _recombine_by_bytes(
     array is split by ONE ``F.aggregate`` fold — per-row JVM execution,
     no UDF — into an array of sub-batches, then exploded."""
     sep_len = len(combine_with)
-    pair_t = "struct<o:bigint,t:string>"
+    # Keep the order column's own type in the pair struct: array_sort
+    # compares structs field-wise for any orderable type, so string /
+    # timestamp order columns work and sub-second precision survives
+    # (a bigint hard-cast would ANSI-fail on strings).
+    pair_t = f"struct<o:{order_dtype},t:string>"
     zero = F.expr(
         f"named_struct('batches', cast(array() as array<array<{pair_t}>>), "
         f"'cur', cast(array() as array<{pair_t}>), 'sz', cast(0 as bigint))"
@@ -258,11 +262,8 @@ def _recombine_by_bytes(
             F.size(acc["cur"]) > 0, F.concat(acc["batches"], F.array(acc["cur"]))
         ).otherwise(acc["batches"])
 
-    typed_pair = F.struct(
-        pair["o"].cast("bigint").alias("o"), pair["t"].alias("t")
-    )
     grouped = tagged.groupBy(source_col, "_gid", "_gid2").agg(
-        F.array_sort(F.collect_list(typed_pair)).alias("_pairs")
+        F.array_sort(F.collect_list(pair)).alias("_pairs")
     )
     batches = F.aggregate(F.col("_pairs"), zero, merge, finish)
     b = F.col("_b")
@@ -274,7 +275,7 @@ def _recombine_by_bytes(
             F.concat_ws(
                 combine_with, F.transform(b, lambda x: x["t"])
             ).alias(combine_field),
-            base.cast(order_dtype).alias(order_col),
+            base.alias(order_col),
             F.size(b).cast("long").alias("n_combined"),
         )
     )

@@ -213,3 +213,41 @@ def test_recombine_max_log_size(spark):
     assert [r["turn_idx"] for r in newest] == [2, 4]
     # total rows preserved
     assert sum(r["n_combined"] for r in out) == 5
+
+
+def test_recombine_max_log_size_string_order(spark):
+    """ADVICE r2: order column keeps its own type through the byte-flush
+    path — string order must sort lexically, not ANSI-crash on a bigint
+    cast; timestamp order must keep sub-second precision."""
+    from opentelemetry_collector_contrib_spark.operators import transformers
+
+    d = spark.createDataFrame(
+        [("c", f"k{i}", f"t{i:03d}") for i in range(5)],
+        ["conv_id", "ord", "text"],
+    )
+    out = (
+        transformers.recombine(
+            d,
+            order_col="ord",
+            is_first=F.lit(False),
+            max_log_size=9,
+        )
+        .orderBy("ord")
+        .collect()
+    )
+    assert [r["text"] for r in out] == ["t000\nt001\nt002", "t003\nt004"]
+    assert [r["ord"] for r in out] == ["k0", "k3"]
+    # timestamp order: sub-second ordering must survive (no bigint cast)
+    ts = spark.createDataFrame(
+        [("c", f"2024-01-01 00:00:00.00{i}", f"t{i:03d}") for i in range(4)],
+        ["conv_id", "raw", "text"],
+    ).select("conv_id", F.to_timestamp("raw").alias("ord"), "text")
+    got = (
+        transformers.recombine(
+            ts, order_col="ord", is_first=F.lit(False), max_log_size=9
+        )
+        .orderBy("ord")
+        .collect()
+    )
+    assert [r["text"] for r in got] == ["t000\nt001\nt002", "t003"]
+    assert got[0]["ord"].microsecond == 0 and got[1]["ord"].microsecond == 3000

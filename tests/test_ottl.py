@@ -113,7 +113,7 @@ def test_converters_hash_time(df):
         df,
         [
             "set(h, SHA256(role))",
-            "set(ts2, Time(Substring(body, 0, 20), \"yyyy-MM-dd'T'HH:mm:ssX\")) "
+            'set(ts2, Time(Substring(body, 0, 20), "%Y-%m-%dT%H:%M:%S%z")) '
             "where IsMatch(body, '^[0-9]{4}-')",
             "set(hr, Hour(ts2))",
         ],
@@ -293,7 +293,8 @@ def test_sha512_matches_hashlib(spark):
 
 def test_duration_family(spark):
     d = spark.createDataFrame(
-        [("1h30m15.5s",), ("300ms",), ("2us",), ("-1.5h",), ("junk",)], ["s"]
+        [("1h30m15.5s",), ("300ms",), ("2us",), ("-1.5h",), ("junk",),
+         ("5s junk",), ("1h-30m",), ("0",), ("-0",)], ["s"]
     )
     out = ottl.apply_statements(
         d,
@@ -312,6 +313,12 @@ def test_duration_family(spark):
     assert got["-1.5h"]["ns"] == -5_400_000_000_000
     assert got["-1.5h"]["mins"] == -90.0
     assert got["junk"]["ns"] is None
+    # Go time.ParseDuration errors on partially-valid strings; strict
+    # full-match nulls them instead of silently keeping the valid part
+    assert got["5s junk"]["ns"] is None
+    assert got["1h-30m"]["ns"] is None
+    # ...but bare "0" (no unit) is the one valid unit-less duration
+    assert got["0"]["ns"] == 0 and got["-0"]["ns"] == 0
 
 
 def test_formattime_now_weekday(spark):

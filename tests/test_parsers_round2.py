@@ -308,3 +308,20 @@ def test_csv_roundtrip_against_python_csv(spark):
         ok, f1, f2, f3 = by_line[line]
         assert ok, line
         assert (f1, f2, f3) == t, (line, (f1, f2, f3), t)
+
+
+def test_redact_mask_col_already_dropped(spark):
+    """ADVICE r2: a mask_cols entry naming a column that allowed_keys
+    already dropped has nothing to mask — the reference proceeds; no
+    UNRESOLVED_COLUMN error."""
+    d = spark.createDataFrame(
+        [("user=5", "secret9")], ["msg", "token"]
+    )
+    out = processors.redact(
+        d,
+        allowed_keys=["msg"],
+        mask_patterns={"num": r"\d+"},
+        mask_cols=["msg", "token"],  # token no longer exists
+    )
+    r = out.collect()[0]
+    assert out.columns == ["msg"] and r["msg"] == "user=****"
