@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from opentelemetry_collector_contrib_spark.operators import (
     connectors,
@@ -158,18 +158,46 @@ def q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.select("sink", "conv_id", "turn_idx", "text")
 
 
-def q_count_by_tool_role(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """countconnector missing-attr exclusion (counter.go:71-73): tool=''
-    rows are excluded."""
+def q_count_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countconnector FULL config shape: one block emits N named metrics,
+    each with own conditions/attributes/default_value, in ONE pass over
+    the stream (connector/countconnector/config.go:35-51, counter.go:38-128).
+    Covers the round-1/2 single-metric queries as metrics #1 and #2:
+    missing-attr exclusion (counter.go:71-73) and default_value
+    substitution (config.go:186-190); metric #3 exercises an OTTL
+    condition string compiled by the connector itself."""
     turns = src.transcripts_df(spark, sf_dir)
-    return connectors.count_connector(turns, ["tool", "role"], name="n")
+    out = connectors.count_connector_multi(
+        turns,
+        {
+            "turns.by_tool_role": connectors.MetricSpec(attrs=["tool", "role"]),
+            "turns.by_tool_role_default": connectors.MetricSpec(
+                attrs=["tool", "role"], defaults={"tool": "none"}
+            ),
+            "assistant.turns": connectors.MetricSpec(
+                attrs=["role"], conditions=['role == "assistant"']
+            ),
+        },
+    )
+    return out.select("metric", "tool", "role", F.col("value").alias("n"))
 
 
-def q_count_by_tool_role_default(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """countconnector with default_value for missing attr (config.go:186-190)."""
-    turns = src.transcripts_df(spark, sf_dir)
-    return connectors.count_connector(
-        turns, ["tool", "role"], defaults={"tool": "none"}, name="n"
+def q_groupbyattrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupbyattrsprocessor (processor/groupbyattrsprocessor/processor.go:
+    63-100): regroup records under a new identity keyed by an attribute.
+    Spark-first analog = repartition on the keys; this query proves the
+    stage preserves content (per-turn text equality) AND that the
+    regrouped identity is consistent — group_size counted per key AFTER
+    the stage equals the key's true cardinality."""
+    df = _parsed(spark, sf_dir)
+    g = processors.group_by_attrs(df, ["tool"])
+    w = Window.partitionBy("tool")
+    return g.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        "text",
     )
 
 
@@ -721,7 +749,16 @@ def q_trace_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parsers.trace_parse(
         with_hex, trace_field="trace_id_hex", span_field="span_id_hex"
     )
-    return out.select("conv_id", "turn_idx", "trace_id", "span_id")
+    # Return hex STRINGS, not raw bytes: the driver canonicalizer sorts
+    # result columns in pandas, which cannot hash bytearray cells. The
+    # unhex round-trip is still exercised: hex(unhex(x)) == upper(x)
+    # only when trace_parse produced the right bytes.
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.hex("trace_id").alias("trace_id"),
+        F.hex("span_id").alias("span_id"),
+    )
 
 
 def q_otlpjson_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,8 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_broadcast": q_enrich,
         "route_per_sink_counts": q_route_per_sink_counts,
         "routed_rows": q_routed_rows,
-        "count_by_tool_role": q_count_by_tool_role,
-        "count_by_tool_role_default": q_count_by_tool_role_default,
+        "count_multi_metric": q_count_multi_metric,
+        "groupbyattrs": q_groupbyattrs,
         "errors_per_team": q_errors_per_team,
         "sum_items_by_team": q_sum_items_by_team,
         "log_dedup": q_log_dedup,
@@ -1126,8 +1163,8 @@ def oracle_sql() -> dict[str, str]:
         "date_trunc('milliseconds', ts) AS epoch_ts "
         "FROM parsed",
         "trace_parse": f"{_T} "
-        "SELECT conv_id, turn_idx, unhex(md5(conv_id)) AS trace_id, "
-        "unhex(substr(md5(conv_id), 1, 16)) AS span_id FROM transcripts",
+        "SELECT conv_id, turn_idx, hex(unhex(md5(conv_id))) AS trace_id, "
+        "hex(unhex(substr(md5(conv_id), 1, 16))) AS span_id FROM transcripts",
         "enrich_broadcast": f"{_TD}, {_PARSED_CTE}, {_ENRICHED_CTE} "
         "SELECT conv_id, turn_idx, team, "
         "coalesce(CASE WHEN role = 'system' THEN 'forced-env' END, env) AS env, "
@@ -1136,12 +1173,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT sink, count(*) AS n FROM routed GROUP BY sink ORDER BY sink",
         "routed_rows": f"{_TD}, {_PARSED_CTE}, {_ENRICHED_CTE}, {_TAGGED_CTE}, {_ROUTED_CTE} "
         "SELECT sink, conv_id, turn_idx, text FROM routed",
-        "count_by_tool_role": f"{_T} "
-        "SELECT tool, role, count(*) AS n FROM transcripts "
-        "WHERE tool IS NOT NULL AND tool <> '' GROUP BY tool, role",
-        "count_by_tool_role_default": f"{_T} "
-        "SELECT CASE WHEN tool IS NULL OR tool = '' THEN 'none' ELSE tool END AS tool, "
-        "role, count(*) AS n FROM transcripts GROUP BY 1, 2",
+        "count_multi_metric": f"{_T} "
+        "SELECT 'turns.by_tool_role' AS metric, tool, role, "
+        "cast(count(*) AS bigint) AS n FROM transcripts "
+        "WHERE tool IS NOT NULL AND tool <> '' GROUP BY tool, role "
+        "UNION ALL "
+        "SELECT 'turns.by_tool_role_default', "
+        "CASE WHEN tool IS NULL OR tool = '' THEN 'none' ELSE tool END, "
+        "role, cast(count(*) AS bigint) FROM transcripts GROUP BY 2, 3 "
+        "UNION ALL "
+        "SELECT 'assistant.turns', NULL, role, cast(count(*) AS bigint) "
+        "FROM transcripts WHERE role = 'assistant' "
+        "AND role IS NOT NULL AND role <> '' GROUP BY role",
+        "groupbyattrs": f"{_T}, {_PARSED_CTE} "
+        "SELECT conv_id, turn_idx, tool, "
+        "cast(count(*) OVER (PARTITION BY tool) AS bigint) AS group_size, "
+        "text FROM parsed",
         "errors_per_team": f"{_TD}, {_PARSED_CTE} "
         "SELECT cd.team, count(*) AS n FROM parsed p "
         "JOIN conv_dim cd ON p.conv_id = cd.conv_id "

@@ -45,7 +45,7 @@ HEADLINE = [
     "enrich_broadcast",
     "route_per_sink_counts",
     "routed_rows",
-    "count_by_tool_role",
+    "count_multi_metric",
     "sum_items_by_team",
     "log_dedup",
     "recombine",

@@ -12,7 +12,16 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .transformers import router_tag
 
-__all__ = ["Route", "route_logs", "routed_union", "count_connector", "sum_connector"]
+__all__ = [
+    "Route",
+    "route_logs",
+    "routed_union",
+    "count_connector",
+    "sum_connector",
+    "MetricSpec",
+    "count_connector_multi",
+    "sum_connector_multi",
+]
 
 
 @dataclass
@@ -235,3 +244,167 @@ def sum_connector(
         c = F.col(a)
         out = out.filter(c.isNotNull() & (c.cast("string") != F.lit("")))
     return out.groupBy(*attrs).agg(F.sum(src).alias(name))
+
+
+@dataclass
+class MetricSpec:
+    """One named metric inside a count/sum connector config block
+    (connector/countconnector/config.go:35-51: each metric has its own
+    description, OR'd ``conditions`` and ``attributes`` with optional
+    ``default_value``; sumconnector adds ``source_attribute``).
+
+    ``conditions`` are OTTL condition strings OR'd together
+    (counter.go:76-86); ``condition`` may carry a pre-built Column
+    instead. ``source`` (sum metrics only) is the source attribute."""
+
+    attrs: list[str] = field(default_factory=list)
+    defaults: dict[str, str] = field(default_factory=dict)
+    conditions: list[str] | None = None
+    condition: Column | None = None
+    source: str | Column | None = None
+
+    def gate(self, df: DataFrame) -> Column:
+        from . import ottl
+
+        parts: list[Column] = []
+        if self.condition is not None:
+            parts.append(self.condition)
+        for c in self.conditions or []:
+            parts.append(ottl.compile_condition(df, c))
+        if not parts:
+            return F.lit(True)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out | p
+        return out
+
+
+def _multi_metric(
+    df: DataFrame, metrics: dict[str, MetricSpec], *, kind: str
+) -> DataFrame:
+    """Compile a whole count/sum connector config block to ONE pass over
+    the fact table (the reference consumes each batch once for all its
+    metrics, counter.go:38-66 — N separate count_connector calls would be
+    N scans).
+
+    Plan shape: one GROUPING SETS aggregate — one set per distinct
+    effective attribute list (default_value substitution is applied to
+    the key *before* grouping, so a defaulted attr is its own grouping
+    column) — computes every metric's conditional partial aggregate
+    map-side behind a single scan + single shuffle; ``grouping_id()``
+    tags which set each output group belongs to.  The long-format
+    ``(metric, *superset_attrs, value)`` result is then produced by ONE
+    explode over the tiny grouped intermediate — deliberately not a
+    union, which would duplicate the aggregate subtree and re-execute
+    the scan per metric (no ReusedExchange guarantee).  Expand cost
+    before the partial agg is bounded by the number of distinct attr
+    sets, not metric count."""
+    # effective grouping column per (attr, default) combination
+    def _key(attr: str, spec: MetricSpec) -> tuple[str, str | None]:
+        return (attr, spec.defaults.get(attr))
+
+    key_cols: dict[tuple[str, str | None], str] = {}
+    for spec in metrics.values():
+        for a in spec.attrs:
+            k = _key(a, spec)
+            if k not in key_cols:
+                key_cols[k] = f"_k_{len(key_cols)}"
+    base = df
+    for (attr, dflt), cname in key_cols.items():
+        c = F.col(attr)
+        if dflt is None:
+            base = base.withColumn(cname, c)
+        else:
+            missing = c.isNull() | (c.cast("string") == F.lit(""))
+            base = base.withColumn(
+                cname, F.when(missing, F.lit(dflt)).otherwise(c)
+            )
+    ordered = list(key_cols.values())  # leftmost = grouping_id MSB
+    # one grouping set per distinct effective attr list
+    set_of_metric: list[tuple[str, ...]] = []
+    distinct_sets: list[tuple[str, ...]] = []
+    for spec in metrics.values():
+        cols = tuple(key_cols[_key(a, spec)] for a in spec.attrs)
+        set_of_metric.append(cols)
+        if cols not in distinct_sets:
+            distinct_sets.append(cols)
+
+    def _gid(cols: tuple[str, ...]) -> int:
+        g = 0
+        for j, c in enumerate(ordered):
+            if c not in cols:
+                g |= 1 << (len(ordered) - 1 - j)
+        return g
+
+    aggs = [F.grouping_id().alias("_gid")]
+    # internal partial-agg aliases are index-based (metric names contain
+    # dots, which a column reference would parse as struct fields)
+    for i, (name, spec) in enumerate(metrics.items()):
+        gate = spec.gate(df)
+        if kind == "count":
+            aggs.append(F.count(F.when(gate, F.lit(1))).alias(f"_m_{i}"))
+        else:
+            src = (
+                F.col(spec.source)
+                if isinstance(spec.source, str)
+                else spec.source
+            )
+            aggs.append(F.sum(F.when(gate, src)).alias(f"_m_{i}"))
+    pre = base.groupingSets(
+        [[F.col(c) for c in cols] for cols in distinct_sets],
+        *[F.col(c) for c in ordered],
+    ).agg(*aggs)
+    superset: list[str] = []
+    for spec in metrics.values():
+        for a in spec.attrs:
+            if a not in superset:
+                superset.append(a)
+    # one output struct per metric; explode + keep-flag filter replaces a
+    # union of N re-aggregations
+    structs = []
+    for i, (name, spec) in enumerate(metrics.items()):
+        keep = F.col("_gid") == _gid(set_of_metric[i])
+        for a in spec.attrs:
+            if a not in spec.defaults:
+                # missing-attr exclusion (counter.go:71-73): '' and null
+                # both count as missing
+                c = F.col(key_cols[_key(a, spec)])
+                keep = keep & c.isNotNull() & (c.cast("string") != F.lit(""))
+        val = F.col(f"_m_{i}")
+        # a group with no matching rows has no data point in the reference
+        keep = keep & (val > 0 if kind == "count" else val.isNotNull())
+        fields = [F.lit(name).alias("metric")]
+        for a in superset:
+            # metric attributes are strings in the reference's pdata model
+            fields.append(
+                F.col(key_cols[_key(a, spec)]).cast("string").alias(a)
+                if a in spec.attrs
+                else F.lit(None).cast("string").alias(a)
+            )
+        # uniform value type across the long format: counts are long;
+        # sums go to double so metrics with different source dtypes can
+        # share one schema
+        v = val.cast("long") if kind == "count" else val.cast("double")
+        fields.append(v.alias("value"))
+        fields.append(keep.alias("_keep"))
+        structs.append(F.struct(*fields))
+    out = pre.select(F.explode(F.array(*structs)).alias("_x"))
+    out = out.filter(F.col("_x._keep"))
+    return out.select("_x.metric", *[f"_x.{a}" for a in superset], "_x.value")
+
+
+def count_connector_multi(
+    df: DataFrame, metrics: dict[str, MetricSpec]
+) -> DataFrame:
+    """countconnector full config shape: N named metrics, each with own
+    OR'd conditions + attributes (+default_value), ONE pass over the
+    stream (connector/countconnector/config.go:35-51, counter.go:38-128)."""
+    return _multi_metric(df, metrics, kind="count")
+
+
+def sum_connector_multi(
+    df: DataFrame, metrics: dict[str, MetricSpec]
+) -> DataFrame:
+    """sumconnector full config shape (config.go:33-44): N named sum
+    metrics over their source_attribute, one pass."""
+    return _multi_metric(df, metrics, kind="sum")

@@ -1027,3 +1027,19 @@ def apply_statements(
         st = compile_statement(s)
         ctx.df = df = _apply_editor(df, st, ctx)
     return df
+
+
+def compile_condition(
+    df: DataFrame, expr: str, *, error_mode: str = "propagate"
+) -> Column:
+    """Parse + compile one OTTL boolean condition to a Catalyst Column
+    (pkg/ottl/parser.go ParseCondition analog). Used by the count/sum
+    connectors, whose per-metric ``conditions`` are OTTL conditions
+    (connector/countconnector/config.go:35-51)."""
+    tokens = _tokenize(expr)
+    p = _Parser(tokens)
+    node = p.parse_expr()
+    if p.peek()[0] != "eof":
+        raise ValueError(f"trailing tokens in condition {expr!r}")
+    _validate(node)
+    return _compile(node, _Ctx(df, error_mode))

@@ -266,3 +266,66 @@ def test_write_routed_rotation_bounds_file_size(spark, turns, tmp_path):
         assert n <= 100, f
         total += n
     assert total == turns.count()
+
+
+def test_count_connector_multi_single_scan(spark, turns):
+    """countconnector multi-metric config (config.go:35-51): N named
+    metrics with own conditions/attrs/defaults compile to ONE scan of the
+    fact table — N separate count_connector calls would be N scans."""
+    out = connectors.count_connector_multi(
+        turns,
+        {
+            "all.by_tool_role": connectors.MetricSpec(attrs=["tool", "role"]),
+            "all.by_tool_default": connectors.MetricSpec(
+                attrs=["tool"], defaults={"tool": "none"}
+            ),
+            "assistant.turns": connectors.MetricSpec(
+                attrs=["role"], conditions=['role == "assistant"']
+            ),
+        },
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = plan.count("LogicalRDD") + plan.count("Relation")
+    assert n_scans == 1, plan
+    rows = {(r["metric"], r["tool"], r["role"]): r["value"] for r in out.collect()}
+    # metric 1 equals the single-metric connector on the same input
+    single = {
+        (r["tool"], r["role"]): r["n"]
+        for r in connectors.count_connector(
+            turns, ["tool", "role"], name="n"
+        ).collect()
+    }
+    got1 = {
+        (t, ro): v for (m, t, ro), v in rows.items() if m == "all.by_tool_role"
+    }
+    assert got1 == single
+    # metric 2: defaults fill missing tool; totals preserved
+    assert sum(v for (m, _, _), v in rows.items() if m == "all.by_tool_default") \
+        == turns.count()
+    # metric 3: OTTL condition compiled by the connector
+    n_assistant = turns.filter(F.col("role") == "assistant").count()
+    assert rows[("assistant.turns", None, "assistant")] == n_assistant
+
+
+def test_sum_connector_multi_matches_single(spark, turns):
+    base = turns.withColumn("items", F.length("text").cast("long"))
+    out = connectors.sum_connector_multi(
+        base,
+        {
+            "chars.by_role": connectors.MetricSpec(attrs=["role"], source="items"),
+            "chars.assistant": connectors.MetricSpec(
+                attrs=["role"], source="items",
+                conditions=['role == "assistant"'],
+            ),
+        },
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") + plan.count("Relation") == 1, plan
+    rows = {(r["metric"], r["role"]): r["value"] for r in out.collect()}
+    single = {
+        r["role"]: r["s"]
+        for r in connectors.sum_connector(base, "items", ["role"], name="s").collect()
+    }
+    assert {ro: v for (m, ro), v in rows.items() if m == "chars.by_role"} == single
+    assert ("chars.assistant", "assistant") in rows
+    assert ("chars.assistant", "system") not in rows
