@@ -761,6 +761,48 @@ def q_trace_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AV_SCALAR_T = parsers._OTLP_ANYVALUE_SCALAR
+_AV_ARRAY_T = f"struct<values: array<{_AV_SCALAR_T}>>"
+_AV_KV_T = (
+    f"struct<values: array<struct<key: string, value: {_AV_SCALAR_T}>>>"
+)
+
+
+def _avs(string=None, intv=None, doublev=None, bytesv=None):
+    """Scalar AnyValue struct (null-padded so arrays stay homogeneous)."""
+    def _c(x, t):
+        return (x if x is not None else F.lit(None)).cast(t)
+
+    return F.struct(
+        _c(string, "string").alias("stringValue"),
+        _c(intv, "string").alias("intValue"),
+        F.lit(None).cast("boolean").alias("boolValue"),
+        _c(doublev, "double").alias("doubleValue"),
+        _c(bytesv, "string").alias("bytesValue"),
+    )
+
+
+def _av(string=None, intv=None, doublev=None, bytesv=None, arr=None, kv=None):
+    """Full AnyValue struct incl. arrayValue/kvlistValue variants."""
+    base = _avs(string, intv, doublev, bytesv)
+    scalar_fields = (
+        "stringValue", "intValue", "boolValue", "doubleValue", "bytesValue"
+    )
+    return F.struct(
+        *[base[f].alias(f) for f in scalar_fields],
+        (
+            F.struct(arr.alias("values"))
+            if arr is not None
+            else F.lit(None).cast(_AV_ARRAY_T)
+        ).alias("arrayValue"),
+        (
+            F.struct(kv.alias("values"))
+            if kv is not None
+            else F.lit(None).cast(_AV_KV_T)
+        ).alias("kvlistValue"),
+    )
+
+
 def q_otlpjson_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full OTLP-JSON logs envelope round-trip
     (connector/otlpjsonconnector/connector_logs.go; fixture shape in
@@ -768,23 +810,65 @@ def q_otlpjson_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     resourceLogs[].scopeLogs[].logRecords[] envelopes (one per
     conversation), then parsed back through the explicit nested schema +
     explodes. The flattened records must equal the flat origin — the
-    strongest evidence the envelope parse is lossless."""
+    strongest evidence the envelope parse is lossless.
+
+    Exercises the COMPLETE AnyValue model (pdata/pcommon/value.go): a
+    deterministic fifth of bodies are kvlistValue (structured bodies);
+    the ``meta`` attribute cycles kvlist / array / bytes / double / int,
+    each flattened per Value.AsString (maps+slices to compact JSON with
+    sorted keys, bytes staying base64)."""
     turns = src.transcripts_df(spark, sf_dir)
+    m5 = F.col("turn_idx") % 5
+    body = F.when(
+        m5 == 0,
+        _av(
+            kv=F.array(
+                F.struct(
+                    F.lit("t").alias("key"),
+                    _avs(string=F.col("text")).alias("value"),
+                )
+            )
+        ),
+    ).otherwise(_av(string=F.col("text")))
+    meta = (
+        F.when(
+            m5 == 0,
+            _av(
+                kv=F.array(
+                    F.struct(
+                        F.lit("i").alias("key"),
+                        _avs(intv=F.col("turn_idx").cast("string")).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("r").alias("key"),
+                        _avs(string=F.col("role")).alias("value"),
+                    ),
+                )
+            ),
+        )
+        .when(
+            m5 == 1,
+            _av(
+                arr=F.array(
+                    _avs(string=F.col("role")),
+                    _avs(intv=F.col("turn_idx").cast("string")),
+                )
+            ),
+        )
+        .when(m5 == 2, _av(bytesv=F.base64(F.col("role").cast("binary"))))
+        .when(m5 == 3, _av(doublev=F.col("turn_idx") + 0.5))
+        .otherwise(_av(intv=F.col("turn_idx").cast("string")))
+    )
     rec = F.struct(
         F.lpad(F.col("turn_idx").cast("string"), 6, "0").alias("timeUnixNano"),
         F.lit("INFO").alias("severityText"),
-        F.struct(F.col("text").alias("stringValue")).alias("body"),
+        body.alias("body"),
         F.array(
-            F.struct(
-                F.lit("turn_idx").alias("key"),
-                F.struct(F.col("turn_idx").cast("string").alias("stringValue")).alias(
-                    "value"
-                ),
-            ),
-            F.struct(
-                F.lit("role").alias("key"),
-                F.struct(F.col("role").alias("stringValue")).alias("value"),
-            ),
+            F.struct(F.lit("turn_idx").alias("key"),
+                     _av(string=F.col("turn_idx").cast("string")).alias("value")),
+            F.struct(F.lit("role").alias("key"),
+                     _av(string=F.col("role")).alias("value")),
+            F.struct(F.lit("meta").alias("key"), meta.alias("value")),
         ).alias("attributes"),
     )
     env = (
@@ -827,6 +911,7 @@ def q_otlpjson_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attributes")["turn_idx"].cast("int").alias("turn_idx"),
         F.col("attributes")["role"].alias("role"),
         F.col("body").alias("text"),
+        F.col("attributes")["meta"].alias("meta"),
         "severity_text",
         "scope_name",
         "scope_version",
@@ -1330,7 +1415,16 @@ def oracle_sql() -> dict[str, str]:
         # expected rows are simply the flat origin plus the constant
         # resource/scope metadata the packer stamps
         "otlpjson_envelope": f"{_T} "
-        "SELECT conv_id, turn_idx, role, text, 'INFO' AS severity_text, "
+        "SELECT conv_id, turn_idx, role, "
+        "CASE WHEN turn_idx % 5 = 0 "
+        "THEN '{\"t\":' || to_json(text) || '}' ELSE text END AS text, "
+        "CASE turn_idx % 5 "
+        "WHEN 0 THEN '{\"i\":' || turn_idx || ',\"r\":' || to_json(role) || '}' "
+        "WHEN 1 THEN '[' || to_json(role) || ',' || turn_idx || ']' "
+        "WHEN 2 THEN to_base64(encode(role)) "
+        "WHEN 3 THEN cast(turn_idx + 0.5 AS varchar) "
+        "ELSE cast(turn_idx AS varchar) END AS meta, "
+        "'INFO' AS severity_text, "
         "'transcripts' AS scope_name, '1' AS scope_version FROM transcripts",
         "ottl_extended": f"{_T} "
         "SELECT conv_id, turn_idx, "

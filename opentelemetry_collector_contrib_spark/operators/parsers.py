@@ -457,9 +457,80 @@ def syslog_parse(
 # --------------------------------------------------------------------------
 
 #: OTLP/JSON AnyValue carries one of these representations; ints arrive
-#: as JSON strings per the protobuf JSON mapping
-_OTLP_ANYVALUE = "STRUCT<stringValue: STRING, intValue: STRING, boolValue: BOOLEAN, doubleValue: DOUBLE>"
+#: as JSON strings per the protobuf JSON mapping, bytes as base64.
+#: arrayValue/kvlistValue nest one level of scalar AnyValues — the
+#: pcommon model is fully recursive, but from_json needs a closed
+#: schema; one level covers the collector's own golden fixtures
+#: (connector/otlpjsonconnector/testdata/) and deeper nests still parse
+#: their scalar leaves (pdata/pcommon AnyValue; connector_logs.go:40-83).
+_OTLP_ANYVALUE_SCALAR = (
+    "STRUCT<stringValue: STRING, intValue: STRING, boolValue: BOOLEAN, "
+    "doubleValue: DOUBLE, bytesValue: STRING>"
+)
+_OTLP_ANYVALUE = (
+    "STRUCT<stringValue: STRING, intValue: STRING, boolValue: BOOLEAN, "
+    "doubleValue: DOUBLE, bytesValue: STRING, "
+    f"arrayValue: STRUCT<values: ARRAY<{_OTLP_ANYVALUE_SCALAR}>>, "
+    "kvlistValue: STRUCT<values: ARRAY<STRUCT<key: STRING, "
+    f"value: {_OTLP_ANYVALUE_SCALAR}>>>>"
+)
 _OTLP_KV = f"ARRAY<STRUCT<key: STRING, value: {_OTLP_ANYVALUE}>>"
+
+
+def _json_quote(c: Column) -> Column:
+    """JSON-encode one string (quotes + escapes) JVM-side: to_json of a
+    1-element array, brackets stripped."""
+    j = F.to_json(F.array(c))
+    return F.regexp_replace(F.regexp_replace(j, r"^\[", ""), r"\]$", "")
+
+
+def _scalar_as_json(v: Column) -> Column:
+    """Scalar AnyValue -> its JSON fragment (Value.AsRaw then
+    json.Marshal, pdata/pcommon/value.go): strings/bytes quoted, ints
+    bare numbers (they arrive as JSON strings), bools/doubles bare."""
+    return F.coalesce(
+        F.when(v["stringValue"].isNotNull(), _json_quote(v["stringValue"])),
+        v["intValue"],
+        v["boolValue"].cast("string"),
+        v["doubleValue"].cast("string"),
+        F.when(v["bytesValue"].isNotNull(), _json_quote(v["bytesValue"])),
+    )
+
+
+def _anyvalue_as_string(v: Column) -> Column:
+    """Value.AsString (pdata/pcommon/value.go): scalars render bare
+    (bytes stay base64 — OTLP/JSON already carries them encoded), maps
+    and slices render as compact JSON with map keys sorted (Go
+    json.Marshal of the AsRaw map sorts keys)."""
+    kvs = v["kvlistValue"]["values"]
+    kv_json = F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(kvs),
+                lambda kv: F.concat(
+                    _json_quote(kv["key"]), F.lit(":"), _scalar_as_json(kv["value"])
+                ),
+            ),
+        ),
+        F.lit("}"),
+    )
+    arr = v["arrayValue"]["values"]
+    arr_json = F.concat(
+        F.lit("["),
+        F.concat_ws(",", F.transform(arr, _scalar_as_json)),
+        F.lit("]"),
+    )
+    return F.coalesce(
+        v["stringValue"],
+        v["intValue"],
+        v["boolValue"].cast("string"),
+        v["doubleValue"].cast("string"),
+        v["bytesValue"],
+        F.when(kvs.isNotNull(), kv_json),
+        F.when(arr.isNotNull(), arr_json),
+    )
 
 OTLP_LOGS_SCHEMA = f"""
 resourceLogs ARRAY<STRUCT<
@@ -471,7 +542,7 @@ resourceLogs ARRAY<STRUCT<
       observedTimeUnixNano: STRING,
       severityNumber: INT,
       severityText: STRING,
-      body: STRUCT<stringValue: STRING>,
+      body: {_OTLP_ANYVALUE},
       attributes: {_OTLP_KV},
       droppedAttributesCount: INT,
       traceId: STRING,
@@ -483,19 +554,15 @@ resourceLogs ARRAY<STRUCT<
 
 
 def _otlp_attrs_map(attrs: Column) -> Column:
-    """OTLP key/value attribute list -> map<string,string> (AnyValue
-    variants coalesced to their string form, as pcommon AsString does)."""
+    """OTLP key/value attribute list -> map<string,string> (every
+    AnyValue variant — scalar, bytes, kvlist, array — flattened to its
+    string form exactly as pcommon Value.AsString does)."""
     return F.map_from_entries(
         F.transform(
             attrs,
             lambda a: F.struct(
                 a["key"].alias("key"),
-                F.coalesce(
-                    a["value"]["stringValue"],
-                    a["value"]["intValue"],
-                    a["value"]["boolValue"].cast("string"),
-                    a["value"]["doubleValue"].cast("string"),
-                ).alias("value"),
+                _anyvalue_as_string(a["value"]).alias("value"),
             ),
         )
     )
@@ -526,7 +593,7 @@ def otlp_json_parse(df: DataFrame, *, parse_from: str = "text") -> DataFrame:
         F.col("_lr.timeUnixNano").cast("long").alias("time_unix_nano"),
         F.col("_lr.severityNumber").alias("severity_number"),
         F.col("_lr.severityText").alias("severity_text"),
-        F.col("_lr.body.stringValue").alias("body"),
+        _anyvalue_as_string(F.col("_lr.body")).alias("body"),
         _otlp_attrs_map(F.col("_lr.attributes")).alias("attributes"),
         F.col("_lr.traceId").alias("trace_id_hex"),
         F.col("_lr.spanId").alias("span_id_hex"),

@@ -325,3 +325,47 @@ def test_redact_mask_col_already_dropped(spark):
     )
     r = out.collect()[0]
     assert out.columns == ["msg"] and r["msg"] == "user=****"
+
+
+def test_otlp_anyvalue_full_model(spark):
+    """Full AnyValue coverage (pdata/pcommon/value.go AsString): kvlist
+    and array bodies/attrs flatten to compact JSON (map keys sorted,
+    string escapes preserved), bytes stay base64, bools render bare."""
+    from opentelemetry_collector_contrib_spark.operators import parsers
+
+    env = {
+        "resourceLogs": [{
+            "resource": {"attributes": [
+                {"key": "svc", "value": {"stringValue": "api"}}]},
+            "scopeLogs": [{
+                "scope": {"name": "s", "version": "1"},
+                "logRecords": [
+                    {"timeUnixNano": "1",
+                     "body": {"kvlistValue": {"values": [
+                         {"key": "z", "value": {"intValue": "7"}},
+                         {"key": "a", "value": {"stringValue": 'he said "hi"'}},
+                         {"key": "m", "value": {"boolValue": True}},
+                     ]}},
+                     "attributes": [
+                         {"key": "arr", "value": {"arrayValue": {"values": [
+                             {"stringValue": "x"}, {"intValue": "3"},
+                             {"doubleValue": 1.5}, {"boolValue": False},
+                         ]}}},
+                         {"key": "b64", "value": {"bytesValue": "aGVsbG8="}},
+                         {"key": "empty_arr",
+                          "value": {"arrayValue": {"values": []}}},
+                     ]},
+                    {"timeUnixNano": "2", "body": {"boolValue": True},
+                     "attributes": []},
+                ]}]}]}
+    import json
+    df = spark.createDataFrame([(json.dumps(env),)], ["text"])
+    out = parsers.otlp_json_parse(df).orderBy("time_unix_nano").collect()
+    r1, r2 = out
+    # map keys sorted like Go json.Marshal of a map; escapes kept
+    assert r1["body"] == '{"a":"he said \\"hi\\"","m":true,"z":7}'
+    assert r1["attributes"]["arr"] == '["x",3,1.5,false]'
+    assert r1["attributes"]["b64"] == "aGVsbG8="
+    assert r1["attributes"]["empty_arr"] == "[]"
+    assert r1["resource_attrs"]["svc"] == "api"
+    assert r2["body"] == "true"
