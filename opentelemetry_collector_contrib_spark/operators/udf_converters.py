@@ -5,11 +5,13 @@ semantics genuinely can't be expressed in Catalyst expressions:
     wrap-around uint64 multiplication; Spark 4's ANSI mode makes int64
     overflow an error, so the hot loop runs in numpy uint64 (which wraps
     by definition), vectorized across the batch per byte position.
-  * ``Murmur3Hash128`` — x64 128-bit murmur3, hex of little-endian
-    h1||h2 (func_murmur3_hash128.go:35-48). Block-structured with
-    per-string tails; computed per row in Python int math inside the
-    Arrow batch. Not a hot-path function — document-ID hashing at scale
-    should use the JVM-side xxhash64/md5/sha2 instead.
+  * ``Murmur3Hash`` / ``Murmur3Hash128`` — exact-parity murmur3 Sum32 /
+    x64-128 (func_murmur3_hash.go:35-47, func_murmur3_hash128.go:35-48).
+    Like FNV, the block loops run numpy uint32/uint64 ops across the
+    whole padded batch matrix at once (zero padding makes each tail int
+    equal to its padded block — no per-tail-length cases). Exact-parity
+    hashing still can't be a JVM built-in; document-ID hashing at scale
+    should prefer xxhash64/md5/sha2 when byte parity isn't required.
   * ``ParseXML`` / ``ParseSimplifiedXML`` — recursive documents with
     data-dependent shape (func_parse_xml.go:63-130,
     func_parse_simplified_xml.go:50-140). The reference returns a nested
@@ -136,15 +138,103 @@ def mmh3_x64_128(key: bytes, seed: int = 0) -> tuple[int, int]:
     return h1, h2
 
 
+def _pad_matrix(bts: list[bytes], block: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pack byte strings into a zero-padded (rows, width) uint8 matrix,
+    width a multiple of ``block``. Zero padding makes each string's tail
+    int equal to its padded block value — no per-tail-length cases."""
+    n = len(bts)
+    lens = np.fromiter((len(b) for b in bts), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    width = max(((maxlen + block - 1) // block) * block, block)
+    arr = np.zeros((n, width), dtype=np.uint8)
+    for i, b in enumerate(bts):
+        arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return arr, lens
+
+
+def _rotl32v(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+
+def _rotl64v(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _fmix64v(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xC4CEB9FE1A85EC53)
+    return k ^ (k >> np.uint64(33))
+
+
+def _mmh3_128_batch(bts: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """mmh3_x64_128 across the whole batch: per-16-byte-block loop runs
+    numpy uint64 ops over ALL rows at once (same padded-matrix shape as
+    fnv64a_udf — ceil(maxlen/16) iterations total, wraparound free)."""
+    n = len(bts)
+    arr, lens = _pad_matrix(bts, 16)
+    u64 = arr.view("<u8")
+    c1 = np.uint64(0x87C37B91114253D5)
+    c2 = np.uint64(0x4CF5AD432745937F)
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    nblocks = lens // 16
+    with np.errstate(over="ignore"):
+        for j in range(u64.shape[1] // 2):
+            active = nblocks > j
+            if not active.any():
+                break
+            k1 = _rotl64v(u64[active, 2 * j] * c1, 31) * c2
+            a1 = h1[active] ^ k1
+            a1 = (_rotl64v(a1, 27) + h2[active]) * np.uint64(5) + np.uint64(
+                0x52DCE729
+            )
+            k2 = _rotl64v(u64[active, 2 * j + 1] * c2, 33) * c1
+            a2 = h2[active] ^ k2
+            a2 = (_rotl64v(a2, 31) + a1) * np.uint64(5) + np.uint64(0x38495AB5)
+            h1[active] = a1
+            h2[active] = a2
+        tail_len = lens - nblocks * 16
+        rows = np.arange(n)
+        # zero padding ⇒ the padded blocks at index nblocks ARE the tail
+        # ints; clamp keeps full-width rows in bounds (masked out anyway)
+        i1 = np.minimum(2 * nblocks, u64.shape[1] - 2)
+        t1 = u64[rows, i1]
+        t2 = u64[rows, i1 + 1]
+        k2 = _rotl64v(t2 * c2, 33) * c1
+        h2 = np.where(tail_len > 8, h2 ^ k2, h2)
+        k1 = _rotl64v(t1 * c1, 31) * c2
+        h1 = np.where(tail_len > 0, h1 ^ k1, h1)
+        ul = lens.astype(np.uint64)
+        h1 ^= ul
+        h2 ^= ul
+        h1 = h1 + h2
+        h2 = h2 + h1
+        h1 = _fmix64v(h1)
+        h2 = _fmix64v(h2)
+        h1 = h1 + h2
+        h2 = h2 + h1
+    return h1, h2
+
+
 @pandas_udf(T.StringType())
 def murmur3_128_udf(s: pd.Series) -> pd.Series:
-    def one(v):
-        if v is None or (isinstance(v, float) and pd.isna(v)):
-            return None
-        h1, h2 = mmh3_x64_128(str(v).encode("utf-8"))
-        return h1.to_bytes(8, "little").hex() + h2.to_bytes(8, "little").hex()
-
-    return s.map(one)
+    """Murmur3Hash128 (func_murmur3_hash128.go:35-48): hex of
+    little-endian h1||h2; hash math batch-vectorized in numpy."""
+    vals = s.fillna("")
+    bts = [v.encode("utf-8") for v in vals]
+    h1, h2 = _mmh3_128_batch(bts)
+    b1 = h1.astype("<u8").tobytes()
+    b2 = h2.astype("<u8").tobytes()
+    out = pd.Series(
+        [b1[8 * i : 8 * i + 8].hex() + b2[8 * i : 8 * i + 8].hex()
+         for i in range(len(bts))],
+        index=s.index,
+        dtype="object",
+    )
+    out[s.isna()] = None
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -504,14 +594,52 @@ def mmh3_x86_32(key: bytes, seed: int = 0) -> int:
     return h
 
 
+def _mmh3_32_batch(bts: list[bytes], seed: int = 0) -> np.ndarray:
+    """mmh3_x86_32 across the whole batch: per-4-byte-block loop runs
+    numpy uint32 ops over ALL rows at once (ceil(maxlen/4) iterations)."""
+    n = len(bts)
+    arr, lens = _pad_matrix(bts, 4)
+    u32 = arr.view("<u4")
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.full(n, np.uint32(seed), dtype=np.uint32)
+    nblocks = lens // 4
+    with np.errstate(over="ignore"):
+        for j in range(u32.shape[1]):
+            active = nblocks > j
+            if not active.any():
+                break
+            k = _rotl32v(u32[active, j] * c1, 15) * c2
+            hh = h[active] ^ k
+            hh = _rotl32v(hh, 13) * np.uint32(5) + np.uint32(0xE6546B64)
+            h[active] = hh
+        tail_len = lens - nblocks * 4
+        rows = np.arange(n)
+        idx = np.minimum(nblocks, u32.shape[1] - 1)
+        k = _rotl32v(u32[rows, idx] * c1, 15) * c2
+        h = np.where(tail_len > 0, h ^ k, h)
+        h ^= lens.astype(np.uint32)
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
 @pandas_udf(T.StringType())
 def murmur3_32_udf(s: pd.Series) -> pd.Series:
     """Murmur3Hash (func_murmur3_hash.go:35-47): hex of the LITTLE-ENDIAN
-    bytes of murmur3 Sum32 over the UTF-8 input."""
-
-    def one(v):
-        if v is None or (isinstance(v, float) and pd.isna(v)):
-            return None
-        return mmh3_x86_32(str(v).encode("utf-8")).to_bytes(4, "little").hex()
-
-    return s.map(one)
+    bytes of murmur3 Sum32 over the UTF-8 input; hash math
+    batch-vectorized in numpy."""
+    vals = s.fillna("")
+    bts = [v.encode("utf-8") for v in vals]
+    h = _mmh3_32_batch(bts)
+    hb = h.astype("<u4").tobytes()
+    out = pd.Series(
+        [hb[4 * i : 4 * i + 4].hex() for i in range(len(bts))],
+        index=s.index,
+        dtype="object",
+    )
+    out[s.isna()] = None
+    return out

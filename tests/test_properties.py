@@ -91,3 +91,24 @@ def test_gotime_translation_total(layout):
     # any unquoted letters must come from the known Java tokens
     bare = re.sub(r"'[^']*'", "", out)
     assert re.fullmatch(r"[yMdHhmsSEXaz \-/:.0-9]*", bare), (layout, out)
+
+
+from opentelemetry_collector_contrib_spark.operators.udf_converters import (  # noqa: E402
+    _mmh3_128_batch,
+    _mmh3_32_batch,
+    mmh3_x86_32,
+)
+
+
+@given(data=st.lists(st.binary(max_size=40), min_size=1, max_size=16))
+@settings(max_examples=60, deadline=None)
+def test_murmur3_batch_matches_scalar(data):
+    """The numpy-vectorized batch kernels must agree byte-for-byte with
+    the scalar public-domain reference implementations across block
+    boundaries and every tail length."""
+    h = _mmh3_32_batch(data)
+    for i, b in enumerate(data):
+        assert int(h[i]) == mmh3_x86_32(b), b
+    h1, h2 = _mmh3_128_batch(data)
+    for i, b in enumerate(data):
+        assert (int(h1[i]), int(h2[i])) == mmh3_x64_128(b), b
