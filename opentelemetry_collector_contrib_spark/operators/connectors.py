@@ -6,6 +6,7 @@ Reference: connector/routingconnector (logs.go:62-107), countconnector
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -28,15 +29,23 @@ __all__ = [
 class Route:
     """One routing table entry (connector/routingconnector/config.go:24-104).
 
-    ``context`` ∈ {"log", "resource"}: a resource-context condition matches
-    *every* row of a conversation when ANY row satisfies it — evaluated as
-    a window-any over conv_id (the flat-model analog of evaluating the
-    condition once per ResourceLogs subtree).
+    ``context`` ∈ {"log", "resource", "request"}:
+
+      * a resource-context condition matches *every* row of a
+        conversation when ANY row satisfies it — evaluated as a
+        window-any over conv_id (the flat-model analog of evaluating
+        the condition once per ResourceLogs subtree);
+      * a request-context condition is ``request["k"] == "v"`` /
+        ``!=`` over per-run metadata
+        (routingconnector/internal/request.go:19-64) — evaluated ONCE
+        on the driver against ``route_logs(request_metadata=...)``, so
+        whole runs route to sinks without touching row data (the
+        condition string goes in ``condition`` in place of a Column).
     ``sinks``: one route may feed several pipelines (duplication,
     logs.go:76-84).
     """
 
-    condition: Column
+    condition: Column | str
     sinks: list[str]
     context: str = "log"
     name: str | None = None
@@ -48,6 +57,24 @@ class Route:
         return self.name or f"route_{i}"
 
 
+_REQUEST_COND = re.compile(
+    r'^\s*request\[\s*"([^"]+)"\s*\]\s*(==|!=)\s*"([^"]*)"\s*$'
+)
+
+
+def eval_request_condition(cond: str, metadata: dict | None) -> bool:
+    """Evaluate one request-context condition against this run's
+    metadata (internal/request.go:19-64: only ``request["key"] == val``
+    and ``!=`` are legal; a missing key never equals anything)."""
+    m = _REQUEST_COND.match(cond)
+    if not m:
+        raise ValueError(f"unsupported request condition: {cond!r}")
+    key, op, val = m.groups()
+    actual = (metadata or {}).get(key)
+    eq = actual is not None and str(actual) == val
+    return eq if op == "==" else not eq
+
+
 def route_logs(
     df: DataFrame,
     routes: list[Route],
@@ -55,6 +82,7 @@ def route_logs(
     default_sinks: list[str] | None = None,
     conv_col: str = "conv_id",
     resource_strategy: str = "broadcast",
+    request_metadata: dict | None = None,
 ) -> tuple[DataFrame, dict[str, list[str]]]:
     """Compile the routing table into ONE first-match-wins tag column.
 
@@ -88,7 +116,12 @@ def route_logs(
     )
     for i, r in enumerate(routes):
         cond = r.condition
-        if r.context == "resource":
+        if r.context == "request":
+            # resolved once, driver-side: the whole run matches or not —
+            # a constant the optimizer folds (matched: rows take this
+            # route unless an earlier one won; unmatched: route is inert)
+            cond = F.lit(eval_request_condition(str(cond), request_metadata))
+        elif r.context == "resource":
             if resource_strategy == "window":
                 cond = F.max(cond.cast("int")).over(w) == 1
             else:

@@ -7,6 +7,8 @@ each is a declarative DataFrame stage.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
@@ -116,6 +118,7 @@ def enrich_lookup(
     on: str,
     *,
     insert_if_absent: bool = True,
+    key_regex: str | None = None,
 ) -> DataFrame:
     """Enrichment lookup (processor/k8sattributesprocessor/processor.go:121-194).
 
@@ -127,7 +130,17 @@ def enrich_lookup(
 
     Join keys equal to '' are treated as missing (no lookup), matching
     the reference's skip-on-empty-identifier behavior.
+
+    ``key_regex`` selects WHICH dimension columns attach — the
+    label/annotation ``key_regex`` extraction rules
+    (k8sattributesprocessor/config.go:131+): only dim columns fully
+    matching the regex are joined; the rest are never even broadcast
+    (column pruning reaches the dim scan).
     """
+    if key_regex is not None:
+        rx = re.compile(key_regex)
+        keep = [c for c in dim.columns if c == on or rx.fullmatch(c)]
+        dim = dim.select(*keep)
     overlap = [c for c in dim.columns if c != on and c in df.columns]
     dim_renamed = dim
     for c in overlap:

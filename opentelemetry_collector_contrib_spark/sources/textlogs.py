@@ -5,12 +5,28 @@ Reference mapping (SURVEY §2.1):
   * glob-match + tail      -> ``spark.read.text(paths)`` (batch) /
     ``spark.readStream.text`` (the streaming module's file source keeps
     its own offset log = fingerprint+offset checkpointing)
+  * include/exclude globs  -> driver-side file-list expansion, include
+    minus exclude (fileconsumer/matcher + config.go:73-92) — the
+    reference's finder also walks the filesystem per poll; file LISTING
+    is driver-scale work (file count, not data size)
   * log.file.name/path     -> ``_metadata.file_path`` per row
     (fileconsumer/attrs/attrs.go:37-70)
+  * charset decode         -> non-UTF-8 encodings route through the CSV
+    reader's charset decoder with quoting/delimiting disabled (the text
+    source is UTF-8-only); pkg/stanza/decode/decoder.go
+  * start_at: end          -> snapshot watermark: ``snapshot_offsets``
+    records per-file line counts; a later read skips lines at or below
+    the recorded count (fileconsumer/config.go start_at semantics for a
+    batch replay)
+  * header metadata        -> a header line at file start parsed into
+    per-file attributes attached to every record and dropped from the
+    record stream (fileconsumer/internal/header/)
   * multiline split        -> start/end regex marks record boundaries
     (fileconsumer/config.go:84 ``split.Config``); the recombine stage
     merges continuation lines exactly like the stanza splitter joins
     them before emission.
+  * gzip'd rotated files   -> transparent (Hadoop codec by extension);
+    covered by test_textlogs gzip case.
 
 Line ordering: a log FILE is a sequential stream, so per-file order is
 the record order. ``monotonically_increasing_id`` is increasing within
@@ -24,15 +40,76 @@ where one reader goroutine owns one file.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import fnmatch
+import glob as _glob
+import re
 
-__all__ = ["read_text_logs"]
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+__all__ = ["read_text_logs", "expand_paths", "snapshot_offsets"]
+
+
+def expand_paths(
+    include: list[str], exclude: list[str] | None = None
+) -> list[str]:
+    """include minus exclude file-glob expansion
+    (fileconsumer/config.go:73-92; matcher uses doublestar globs — ``**``
+    maps to Python glob recursive mode). Local-filesystem paths; remote
+    stores should pre-resolve their listing the same way."""
+    files: list[str] = []
+    for pat in include:
+        files.extend(_glob.glob(pat, recursive=True))
+    out = sorted(set(files))
+    for pat in exclude or []:
+        out = [f for f in out if not fnmatch.fnmatch(f, pat)]
+    return out
+
+
+def snapshot_offsets(spark: SparkSession, paths: str | list[str]) -> dict:
+    """Record the current per-file line counts — the batch analog of the
+    reader's stored fingerprint+offset. Feed the result to
+    ``read_text_logs(start_at="end", snapshot=...)`` to read only lines
+    appended after this snapshot."""
+    if isinstance(paths, str):
+        paths = [paths]
+    rows = (
+        spark.read.text(paths)
+        .groupBy(F.col("_metadata.file_path").alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {r["p"]: r["n"] for r in rows}
+
+
+def _read_lines(
+    spark: SparkSession, paths: list[str], encoding: str | None
+) -> DataFrame:
+    if encoding is None or encoding.lower() in ("utf-8", "utf8"):
+        return spark.read.text(paths)
+    # charset decode (pkg/stanza/decode/decoder.go): the text source is
+    # UTF-8-only, so other charsets ride the CSV reader's decoder with
+    # quoting and delimiting disabled — NUL as quote char disables quote
+    # handling, SOH as separator keeps each physical line one column
+    # (log lines don't carry those bytes)
+    return (
+        spark.read.format("csv")
+        .option("charset", encoding)
+        .option("quote", "\u0000")
+        .option("sep", "\u0001")
+        .schema("value string")
+        .load(paths)
+    )
 
 
 def read_text_logs(
     spark: SparkSession,
     paths: str | list[str],
     *,
+    exclude: list[str] | None = None,
+    encoding: str | None = None,
+    start_at: str = "beginning",
+    snapshot: dict | None = None,
+    header_pattern: str | None = None,
     multiline_start: str | None = None,
     multiline_end: str | None = None,
     combine_with: str = "\n",
@@ -41,21 +118,74 @@ def read_text_logs(
     start/end pattern, continuation lines merge into one record.
 
     Returns columns: ``text``, ``log_file_path``, ``log_file_name``
-    (+ ``n_combined`` when a multiline pattern is set).
+    (+ named header groups when ``header_pattern`` is set,
+    + ``n_combined`` when a multiline pattern is set).
+
+    ``header_pattern`` is a regex with named groups matched against each
+    file's FIRST line: matching header lines are removed from the record
+    stream and their groups attached to every record of that file
+    (fileconsumer/internal/header/). ``start_at="end"`` with a
+    ``snapshot`` from :func:`snapshot_offsets` emits only lines appended
+    since the snapshot.
     """
     if isinstance(paths, str):
         paths = [paths]
-    df = (
-        spark.read.text(*paths)
-        .select(
-            F.col("value").alias("text"),
-            F.col("_metadata.file_path").alias("log_file_path"),
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-                "log_file_name"
-            ),
-            F.monotonically_increasing_id().alias("_line_id"),
-        )
+    if exclude:
+        paths = expand_paths(paths, exclude)
+        if not paths:
+            raise ValueError("include minus exclude matched no files")
+    df = _read_lines(spark, paths, encoding).select(
+        F.col("value").alias("text"),
+        F.col("_metadata.file_path").alias("log_file_path"),
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "log_file_name"
+        ),
+        F.monotonically_increasing_id().alias("_line_id"),
     )
+    needs_lineno = header_pattern is not None or (
+        start_at == "end" and snapshot is not None
+    )
+    if needs_lineno:
+        w = Window.partitionBy("log_file_path").orderBy("_line_id")
+        df = df.withColumn("_lineno", F.row_number().over(w))
+    header_cols: list[str] = []
+    if header_pattern is not None:
+        groups = sorted(
+            re.compile(header_pattern).groupindex,
+            key=re.compile(header_pattern).groupindex.get,
+        )
+        if not groups:
+            raise ValueError("header_pattern needs named capture groups")
+        jpat = header_pattern.replace("(?P<", "(?<")
+        headers = (
+            df.filter((F.col("_lineno") == 1) & F.col("text").rlike(jpat))
+            .select(
+                "log_file_path",
+                *[
+                    F.regexp_extract("text", jpat, i + 1).alias(g)
+                    for i, g in enumerate(groups)
+                ],
+                F.lit(True).alias("_has_header"),
+            )
+        )
+        # per-file header attrs: one row per file -> broadcast join back
+        df = df.join(F.broadcast(headers), on="log_file_path", how="left")
+        df = df.filter(
+            ~(F.coalesce(F.col("_has_header"), F.lit(False)) & (F.col("_lineno") == 1))
+        ).drop("_has_header")
+        header_cols = groups
+    if start_at == "end" and snapshot is not None:
+        entries = [
+            F.struct(F.lit(p).alias("p"), F.lit(n).alias("n"))
+            for p, n in snapshot.items()
+        ]
+        if entries:
+            snap_map = F.map_from_entries(F.array(*entries))
+            known = F.coalesce(
+                snap_map[F.col("log_file_path")], F.lit(0)
+            )
+            df = df.filter(F.col("_lineno") > known)
+    df = df.drop("_lineno") if needs_lineno else df
     if multiline_start is None and multiline_end is None:
         return df.drop("_line_id")
     from ..operators.transformers import recombine
@@ -74,11 +204,18 @@ def read_text_logs(
         **kw,
     )
     # re-attach the name (recombine keeps only source/order/text/count)
-    return out.select(
+    attach = out
+    if header_cols:
+        hdr = df.select("log_file_path", *header_cols).dropDuplicates(
+            ["log_file_path"]
+        )
+        attach = out.join(F.broadcast(hdr), on="log_file_path", how="left")
+    return attach.select(
         "text",
         F.col("log_file_path"),
         F.element_at(F.split(F.col("log_file_path"), "/"), -1).alias(
             "log_file_name"
         ),
+        *header_cols,
         "n_combined",
     )

@@ -251,3 +251,53 @@ def test_recombine_max_log_size_string_order(spark):
     )
     assert [r["text"] for r in got] == ["t000\nt001\nt002", "t003"]
     assert got[0]["ord"].microsecond == 0 and got[1]["ord"].microsecond == 3000
+
+
+def test_routing_request_context(spark, sf_dir):
+    """routingconnector request context (internal/request.go:19-64):
+    request["k"] == "v" metadata conditions resolve once per run on the
+    driver; matching runs route whole payloads, others fall through."""
+    from opentelemetry_collector_contrib_spark.operators import connectors
+    from opentelemetry_collector_contrib_spark.sources import transcripts as src
+
+    turns = src.transcripts_df(spark, sf_dir)
+    routes = [
+        connectors.Route(
+            condition='request["tenant"] == "acme"',
+            context="request",
+            sinks=["acme_sink"],
+            name="acme",
+        ),
+        connectors.Route(
+            condition=F.col("role") == "system",
+            sinks=["system_sink"],
+            name="system",
+        ),
+    ]
+    n = turns.count()
+    # matching run: every row takes the request route (first match wins)
+    tagged, smap = connectors.route_logs(
+        turns, routes, default_sinks=["catchall"],
+        request_metadata={"tenant": "acme"},
+    )
+    counts = {
+        r["sink"]: r["n"]
+        for r in connectors.routed_union(tagged, smap)
+        .groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"acme_sink": n}
+    # non-matching run: request route inert; rows fall to later routes
+    tagged2, smap2 = connectors.route_logs(
+        turns, routes, default_sinks=["catchall"],
+        request_metadata={"tenant": "other"},
+    )
+    counts2 = {
+        r["sink"]: r["n"]
+        for r in connectors.routed_union(tagged2, smap2)
+        .groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_sys = turns.filter(F.col("role") == "system").count()
+    assert counts2 == {"system_sink": n_sys, "catchall": n - n_sys}
+    # != operator and missing-key semantics
+    assert connectors.eval_request_condition('request["a"] != "x"', {}) is True
+    assert connectors.eval_request_condition('request["a"] == "x"', None) is False

@@ -369,3 +369,100 @@ def test_otlp_anyvalue_full_model(spark):
     assert r1["attributes"]["empty_arr"] == "[]"
     assert r1["resource_attrs"]["svc"] == "api"
     assert r2["body"] == "true"
+
+
+def test_read_text_logs_exclude_and_gzip(spark, tmp_path):
+    """filelog include/exclude globs (fileconsumer/config.go:73-92) and
+    transparent read of gzip'd rotated files."""
+    import gzip
+
+    from opentelemetry_collector_contrib_spark.sources import textlogs
+
+    (tmp_path / "app.log").write_text("a1\na2\n")
+    (tmp_path / "app.log.1").write_text("old1\n")
+    with gzip.open(tmp_path / "app.log.2.gz", "wt") as f:
+        f.write("gz1\ngz2\n")
+    out = textlogs.read_text_logs(
+        spark,
+        [str(tmp_path / "app.log*")],
+        exclude=[str(tmp_path / "app.log.1")],
+    )
+    texts = sorted(r["text"] for r in out.collect())
+    assert texts == ["a1", "a2", "gz1", "gz2"]
+    names = {r["log_file_name"] for r in out.collect()}
+    assert names == {"app.log", "app.log.2.gz"}
+
+
+def test_read_text_logs_charset_decode(spark, tmp_path):
+    """charset decode (pkg/stanza/decode/decoder.go): latin-1 bytes must
+    arrive as the right characters, not mojibake."""
+    from opentelemetry_collector_contrib_spark.sources import textlogs
+
+    (tmp_path / "l1.log").write_bytes("caf\xe9 num\xe9ro 1\nline2\n".encode("latin-1"))
+    out = textlogs.read_text_logs(
+        spark, str(tmp_path / "l1.log"), encoding="ISO-8859-1"
+    )
+    texts = sorted(r["text"] for r in out.collect())
+    assert texts == ["café numéro 1", "line2"]
+
+
+def test_read_text_logs_start_at_end_snapshot(spark, tmp_path):
+    """start_at: end analog — a snapshot records per-file offsets; a
+    later read returns only appended lines (fileconsumer start_at +
+    stored-offset resume)."""
+    from opentelemetry_collector_contrib_spark.sources import textlogs
+
+    p = tmp_path / "s.log"
+    p.write_text("old1\nold2\n")
+    snap = textlogs.snapshot_offsets(spark, str(p))
+    assert list(snap.values()) == [2]
+    with p.open("a") as f:
+        f.write("new1\nnew2\nnew3\n")
+    out = textlogs.read_text_logs(
+        spark, str(p), start_at="end", snapshot=snap
+    )
+    assert sorted(r["text"] for r in out.collect()) == ["new1", "new2", "new3"]
+    # a file NOT in the snapshot is read in full (new file since snapshot)
+    q = tmp_path / "t.log"
+    q.write_text("fresh\n")
+    out2 = textlogs.read_text_logs(
+        spark, str(tmp_path / "*.log"), start_at="end", snapshot=snap
+    )
+    assert sorted(r["text"] for r in out2.collect()) == [
+        "fresh", "new1", "new2", "new3"
+    ]
+
+
+def test_read_text_logs_header_metadata(spark, tmp_path):
+    """header line parsed into per-file attributes attached to every
+    record and dropped from the stream (fileconsumer/internal/header/)."""
+    from opentelemetry_collector_contrib_spark.sources import textlogs
+
+    (tmp_path / "h1.log").write_text("#env=prod region=eu\nr1\nr2\n")
+    (tmp_path / "h2.log").write_text("#env=dev region=us\nr3\n")
+    (tmp_path / "h3.log").write_text("no header here\nr4\n")
+    out = textlogs.read_text_logs(
+        spark,
+        str(tmp_path / "h*.log"),
+        header_pattern=r"^#env=(?P<env>\S+) region=(?P<region>\S+)$",
+    )
+    rows = {r["text"]: (r["env"], r["region"]) for r in out.collect()}
+    assert rows["r1"] == ("prod", "eu") and rows["r2"] == ("prod", "eu")
+    assert rows["r3"] == ("dev", "us")
+    # non-matching first line stays a record, attrs null
+    assert rows["no header here"] == (None, None) and rows["r4"] == (None, None)
+
+
+def test_enrich_lookup_key_regex_selection(spark):
+    """k8sattributes key_regex extraction (config.go:131+): only dim
+    columns matching the regex attach; the rest are pruned before the
+    broadcast."""
+    facts = spark.createDataFrame([("p1",), ("p2",)], ["pod"])
+    dim = spark.createDataFrame(
+        [("p1", "app-a", "v1", "internal-x"), ("p2", "app-b", "v2", "internal-y")],
+        ["pod", "labelapp", "labelversion", "scratch"],
+    )
+    out = processors.enrich_lookup(facts, dim, on="pod", key_regex=r"label.*")
+    assert set(out.columns) == {"pod", "labelapp", "labelversion"}
+    got = {r["pod"]: r.asDict() for r in out.collect()}
+    assert got["p1"]["labelapp"] == "app-a" and got["p2"]["labelversion"] == "v2"

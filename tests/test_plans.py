@@ -329,3 +329,33 @@ def test_sum_connector_multi_matches_single(spark, turns):
     assert {ro: v for (m, ro), v in rows.items() if m == "chars.by_role"} == single
     assert ("chars.assistant", "assistant") in rows
     assert ("chars.assistant", "system") not in rows
+
+
+def test_sink_catalog_iceberg_branch(spark, turns, tmp_path):
+    """Exercises the fmt == "iceberg" branch of SinkCatalog end-to-end
+    (write -> overwritePartitions -> read).
+
+    ENVIRONMENT-BLOCKED in this container: needs the Iceberg runtime jar
+    ``org.apache.iceberg:iceberg-spark-runtime-4.0_2.13`` (matching the
+    installed Spark 4.x / Scala 2.13) on the driver classpath plus a
+    catalog config such as
+    ``spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog``
+    with ``type=hadoop`` and a ``warehouse`` path. No network here, so
+    the jar cannot be staged; when it is present the probe flips this
+    test on automatically — the branch is tested, not dead code.
+    """
+    from opentelemetry_collector_contrib_spark.sources import catalog as cat
+
+    if not cat.iceberg_available(spark):
+        pytest.skip(
+            "iceberg-spark-runtime jar not on classpath (offline container); "
+            "see docstring for the exact staging requirement"
+        )
+    sc = cat.SinkCatalog(spark, str(tmp_path), fmt="iceberg")
+    tbl = "local.db.turns_smoke"
+    sample = turns.limit(50).withColumn("sink", F.lit("a"))
+    sample.writeTo(tbl).using("iceberg").partitionedBy(F.col("sink")).create()
+    sc.overwrite_partitions(sample, tbl, partition_by=["sink"])
+    assert sc.read(tbl).count() == 50
+    sc.append(sample, tbl, partition_by=["sink"])
+    assert sc.read(tbl).count() == 100
