@@ -627,6 +627,42 @@ class _Ctx:
         self.error_mode = error_mode
 
 
+_DTYPE_FAMILY = {
+    "string": "str", "varchar": "str", "char": "str",
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "boolean": "bool", "binary": "bytes",
+    "timestamp": "time", "timestamp_ntz": "time", "date": "time",
+}
+
+
+def _type_family(node, ctx: _Ctx) -> str | None:
+    """Static type family of an expression node, used to apply the OTTL
+    comparison/math coercion table (LANGUAGE.md L263-289) at compile
+    time — the typed columnar model knows most types statically. Returns
+    None for unknown (converter results, nil literals): unknown falls
+    back to Spark semantics with null-safe equality."""
+    if isinstance(node, Lit):
+        v = node.value
+        if v is None:
+            return None  # nil: absence of value, handled by eqNullSafe
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        return None
+    if isinstance(node, Path):
+        dt = dict(ctx.df.dtypes).get(node.column_name())
+        if dt is None:
+            return None
+        return _DTYPE_FAMILY.get(dt.split("(")[0])
+    return None
+
+
 def _compile(node, ctx: _Ctx) -> Column:
     if isinstance(node, Lit):
         c = F.lit(node.value)
@@ -639,9 +675,43 @@ def _compile(node, ctx: _Ctx) -> Column:
         return [_compile(i, ctx) for i in node.items]
     if isinstance(node, BinOp):
         l, r = _compile(node.left, ctx), _compile(node.right, ctx)
+        fl, fr = _type_family(node.left, ctx), _type_family(node.right, ctx)
+        mismatched = (
+            fl is not None
+            and fr is not None
+            and fl != fr
+            and not ({fl, fr} <= {"int", "float"})
+        )
+        # OTTL comparison rules (pkg/ottl/LANGUAGE.md L263-289): values
+        # of differing types are never equal (int/float may mix); nil
+        # equals only nil — eqNullSafe gives exactly Go's nil semantics,
+        # including `x != "v"` being TRUE when x is nil.
+        if node.op == "==":
+            return F.lit(False) if mismatched else l.eqNullSafe(r)
+        if node.op == "!=":
+            return F.lit(True) if mismatched else ~l.eqNullSafe(r)
+        if node.op in (">", "<", ">=", "<="):
+            if mismatched:
+                # ordering across types is an error in Go; under ignore
+                # the statement simply doesn't match
+                if ctx.error_mode in ("ignore", "silent"):
+                    return F.lit(False)
+                raise ValueError(
+                    f"cannot order-compare {fl} and {fr} (LANGUAGE.md "
+                    "comparison rules)"
+                )
+        elif node.op in ("+", "-", "*", "/") and (
+            fl is not None and fr is not None and {fl, fr} == {"int", "float"}
+        ):
+            # the grammar does no implicit int/float conversion in math
+            # (LANGUAGE.md): mixing errors; Spark would silently coerce
+            if ctx.error_mode in ("ignore", "silent"):
+                return F.lit(None)
+            raise ValueError(
+                f"math between {fl} and {fr} needs an explicit Int()/"
+                "Double() conversion (LANGUAGE.md math rules)"
+            )
         ops = {
-            "==": lambda a, b: a == b,
-            "!=": lambda a, b: a != b,
             ">": lambda a, b: a > b,
             "<": lambda a, b: a < b,
             ">=": lambda a, b: a >= b,

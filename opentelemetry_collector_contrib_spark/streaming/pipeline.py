@@ -90,10 +90,20 @@ def run_to_sinks(
     *,
     available_now: bool = True,
     processing_time: str = "5 seconds",
+    flush_interval: float | None = None,
 ):
     """Start the streaming job writing per-sink parquet + per-batch
     metrics. foreachBatch gives the per-micro-batch hook the exporters
-    need (one atomic partitionBy write per batch; append mode)."""
+    need (one atomic partitionBy write per batch; append mode).
+
+    ``flush_interval`` is the fileexporter's flush_interval config
+    (exporter/fileexporter/config.go:49-52, seconds): data becomes
+    visible in the sink at most that often. In the micro-batch model the
+    processingTime trigger IS the flush clock, so the knob maps onto it
+    directly (and turns availableNow off)."""
+    if flush_interval is not None:
+        available_now = False
+        processing_time = f"{flush_interval} seconds"
     tagged, sink_map = build_stream(
         spark, read_transcript_stream(spark, input_dir), sf_dir
     )

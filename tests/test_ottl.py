@@ -557,3 +557,44 @@ def test_murmur3_32_known_vector(spark):
     )
     assert mmh3_x86_32(b"hello") == 0x248BFA47
     assert mmh3_x86_32(b"") == 0
+
+
+def test_comparison_coercion_table(spark):
+    """LANGUAGE.md L263-289 comparison rules: differing types are never
+    equal (== false, != true); nil equals only nil; int/float may mix in
+    comparisons but NOT in math; ordering across types errors."""
+    d = spark.createDataFrame(
+        [(1, "1", 1.0, None), (2, "x", 2.5, "v")],
+        "n int, s string, f double, maybe string",
+    )
+    out = ottl.apply_statements(
+        d,
+        [
+            "set(eq_cross, n == s)",        # int vs string: never equal
+            "set(ne_cross, n != s)",        # ...and != is true
+            "set(eq_nummix, n == f)",       # int vs float: real compare
+            "set(nil_eq, maybe == nil)",    # nil equals only nil
+            "set(nil_ne, maybe != \"v\")",  # nil != "v" is TRUE
+        ],
+    )
+    rows = {r["n"]: r for r in out.collect()}
+    assert rows[1]["eq_cross"] is False and rows[1]["ne_cross"] is True
+    assert rows[1]["eq_nummix"] is True and rows[2]["eq_nummix"] is False
+    assert rows[1]["nil_eq"] is True and rows[2]["nil_eq"] is False
+    assert rows[1]["nil_ne"] is True and rows[2]["nil_ne"] is False
+    # int/float math mixing: compile-time error under propagate...
+    with pytest.raises(ValueError, match="math between"):
+        ottl.apply_statements(d, ["set(bad, n + f)"])
+    # ...null result under ignore
+    ig = ottl.apply_statements(d, ["set(bad, n + f)"], error_mode="ignore")
+    assert all(r["bad"] is None for r in ig.collect())
+    # explicit conversion is the sanctioned path
+    ok = ottl.apply_statements(d, ["set(good, Double(n) + f)"])
+    assert {r["good"] for r in ok.collect()} == {2.0, 4.5}
+    # ordering across type families errors / is inert under ignore
+    with pytest.raises(ValueError, match="order-compare"):
+        ottl.apply_statements(d, ["set(bad2, s > n)"])
+    ig2 = ottl.apply_statements(
+        d, ['set(tag, "big") where s > n'], error_mode="ignore"
+    )
+    assert all(r["tag"] is None for r in ig2.collect())

@@ -359,3 +359,47 @@ def test_sink_catalog_iceberg_branch(spark, turns, tmp_path):
     assert sc.read(tbl).count() == 50
     sc.append(sample, tbl, partition_by=["sink"])
     assert sc.read(tbl).count() == 100
+
+
+def test_fileexporter_proto_roundtrip(spark, turns, tmp_path):
+    """fileexporter format: proto (exporter/fileexporter/config.go:22-52):
+    records encode as OTLP LogsData protobuf wire frames written varint-
+    length-delimited per partition; a wire-level decode must round-trip
+    body, attributes, resource attributes, severity, and timestamp."""
+    from opentelemetry_collector_contrib_spark.operators import proto
+
+    sample = (
+        turns.limit(20)
+        .withColumn("severity_text", F.lit("INFO"))
+        .withColumn("severity_number", F.lit(9))
+    )
+    enc = proto.encode_logs_proto(
+        sample,
+        body_col="text",
+        ts_col="ts",
+        severity_text_col="severity_text",
+        severity_number_col="severity_number",
+        attr_cols=["role", "tool"],
+        resource_attr_cols=["conv_id"],
+        scope_name="transcripts",
+    )
+    out_dir = str(tmp_path / "proto_sink")
+    n_files = proto.write_proto_files(enc.repartition(3), out_dir)
+    assert 1 <= n_files <= 3
+    decoded = proto.decode_logs_proto(out_dir)
+    assert len(decoded) == 20
+    expect = {
+        r["text"]: r for r in sample.select(
+            "text", "role", "tool", "conv_id", "ts"
+        ).collect()
+    }
+    for rec in decoded:
+        src = expect[rec["body"]]
+        assert rec["attrs"]["role"] == src["role"]
+        assert rec["resource"]["conv_id"] == src["conv_id"]
+        assert rec["scope"] == "transcripts"
+        assert rec["severity_text"] == "INFO" and rec["severity_number"] == 9
+        import calendar
+        want_ns = int(calendar.timegm(src["ts"].timetuple())) * 10**9 \
+            + src["ts"].microsecond * 1000
+        assert rec["ts"] == want_ns

@@ -265,3 +265,32 @@ def test_otlp_envelope_parse_in_stream(spark, turns, tmp_path):
         )
     )
     assert got == want and len(got) == turns.count()
+
+
+def test_flush_interval_maps_to_processing_time_trigger(spark, sf_dir, turns, tmp_path):
+    """fileexporter flush_interval (config.go:49-52) = micro-batch flush
+    clock: the query runs on a processingTime trigger of that many
+    seconds and data lands in the sink while the query stays active."""
+    import time
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    turns.limit(200).write.parquet(inp)
+    q = spipe.run_to_sinks(
+        spark, inp, sf_dir, out, ckpt, flush_interval=1
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(f"{out}/routed").count()
+                if n > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        assert n > 0, "no flush within 60s"
+        # continuous trigger: the query does NOT self-terminate
+        assert q.isActive
+    finally:
+        q.stop()
