@@ -188,7 +188,12 @@ def _stage_enrich(df, spark, sf_dir, cfg):
     return processors.enrich_lookup(
         df, dim, on=cfg["on"],
         insert_if_absent=cfg.get("insert_if_absent", True),
+        key_regex=cfg.get("key_regex"),
     )
+
+
+def _stage_groupbyattrs(df, spark, sf_dir, cfg):
+    return processors.group_by_attrs(df, cfg["keys"])
 
 
 def _stage_ottl(df, spark, sf_dir, cfg):
@@ -234,6 +239,7 @@ STAGE_REGISTRY = {
     "logdedup": _stage_log_dedup,
     "attributes": _stage_attributes,
     "enrich": _stage_enrich,
+    "groupbyattrs": _stage_groupbyattrs,
     "ottl": _stage_ottl,
     "filter": _stage_filter,
     "redact": _stage_redact,
@@ -262,8 +268,13 @@ def build_from_config(
     *,
     source: DataFrame | None = None,
     lineage: Lineage | None = None,
+    request_metadata: dict | None = None,
 ) -> tuple[DataFrame, dict[str, list[str]]]:
-    """Compile a config dict to (tagged DataFrame, sink_map)."""
+    """Compile a config dict to (tagged DataFrame, sink_map).
+
+    ``request_metadata`` feeds request-context routes (``context:
+    request`` entries keep their condition as the raw
+    ``request["k"] == "v"`` string, resolved per run on the driver)."""
     lin = lineage or Lineage()
     for p in config.get("processors", []):
         if p["type"] not in STAGE_REGISTRY:
@@ -277,7 +288,11 @@ def build_from_config(
 
     routes = [
         connectors.Route(
-            condition=F.expr(r["condition"]),
+            condition=(
+                r["condition"]
+                if r.get("context") == "request"
+                else F.expr(r["condition"])
+            ),
             sinks=list(r["sinks"]),
             context=r.get("context", "log"),
             name=r.get("name"),
@@ -290,5 +305,6 @@ def build_from_config(
             df, routes,
             default_sinks=config.get("default_sinks"),
             resource_strategy=config.get("resource_strategy", "broadcast"),
+            request_metadata=request_metadata,
         )
     return df, {}

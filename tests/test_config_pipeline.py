@@ -301,3 +301,31 @@ def test_routing_request_context(spark, sf_dir):
     # != operator and missing-key semantics
     assert connectors.eval_request_condition('request["a"] != "x"', {}) is True
     assert connectors.eval_request_condition('request["a"] == "x"', None) is False
+
+
+def test_config_request_route_and_groupbyattrs(spark, sf_dir):
+    """Config registry round-trip for the round-3 surface: a request-
+    context route (raw condition string, per-run metadata) plus a
+    groupbyattrs stage."""
+    cfg = {
+        "processors": [{"type": "groupbyattrs", "keys": ["tool"]}],
+        "routes": [
+            {
+                "condition": 'request["env"] == "prod"',
+                "context": "request",
+                "sinks": ["prod_sink"],
+                "name": "prod",
+            }
+        ],
+        "default_sinks": ["rest"],
+    }
+    tagged, smap = cfgp.build_from_config(
+        spark, sf_dir, cfg, request_metadata={"env": "prod"}
+    )
+    labels = {r["_route"] for r in tagged.select("_route").distinct().collect()}
+    assert labels == {"prod"} and smap["prod"] == ["prod_sink"]
+    tagged2, _ = cfgp.build_from_config(
+        spark, sf_dir, cfg, request_metadata={"env": "dev"}
+    )
+    labels2 = {r["_route"] for r in tagged2.select("_route").distinct().collect()}
+    assert labels2 == {"default"}
