@@ -403,3 +403,20 @@ def test_fileexporter_proto_roundtrip(spark, turns, tmp_path):
         want_ns = int(calendar.timegm(src["ts"].timetuple())) * 10**9 \
             + src["ts"].microsecond * 1000
         assert rec["ts"] == want_ns
+
+
+def test_count_connector_multi_grand_total_metric(spark, turns):
+    """A metric with NO attributes is a grand total (the reference
+    allows attribute-less metrics) — empty grouping set in the same
+    single pass."""
+    out = connectors.count_connector_multi(
+        turns,
+        {
+            "all.turns": connectors.MetricSpec(attrs=[]),
+            "by.role": connectors.MetricSpec(attrs=["role"]),
+        },
+    )
+    rows = {(r["metric"], r["role"]): r["value"] for r in out.collect()}
+    assert rows[("all.turns", None)] == turns.count()
+    roles = {ro: v for (m, ro), v in rows.items() if m == "by.role"}
+    assert sum(roles.values()) == turns.count() and len(roles) == 4
