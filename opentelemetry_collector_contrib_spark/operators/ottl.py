@@ -701,15 +701,19 @@ def _compile(node, ctx: _Ctx) -> Column:
                     "comparison rules)"
                 )
         elif node.op in ("+", "-", "*", "/") and (
-            fl is not None and fr is not None and {fl, fr} == {"int", "float"}
+            fl is not None
+            and fr is not None
+            and not (fl == fr and fl in ("int", "float"))
         ):
-            # the grammar does no implicit int/float conversion in math
-            # (LANGUAGE.md): mixing errors; Spark would silently coerce
+            # the grammar does no implicit conversion in math
+            # (LANGUAGE.md): int/float mixing errors, and non-numeric
+            # operands (strings, bools) error too; Spark would silently
+            # coerce numeric-looking strings
             if ctx.error_mode in ("ignore", "silent"):
                 return F.lit(None)
             raise ValueError(
-                f"math between {fl} and {fr} needs an explicit Int()/"
-                "Double() conversion (LANGUAGE.md math rules)"
+                f"math between {fl} and {fr} needs explicit Int()/"
+                "Double() conversions (LANGUAGE.md math rules)"
             )
         ops = {
             ">": lambda a, b: a > b,

@@ -484,6 +484,17 @@ def _json_quote(c: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(j, r"^\[", ""), r"\]$", "")
 
 
+def _go_double_str(d: Column) -> Column:
+    """Render a double the way Go json.Marshal does for the common case:
+    integral values print WITHOUT the trailing ``.0`` (json.Marshal(2.0)
+    = "2"). Residual divergence: scientific-notation formatting for very
+    large/small magnitudes ("1.0E7" here vs Go "1e+07") — documented,
+    not load-bearing for collector fixtures."""
+    as_long = d.cast("long")
+    integral = (d == as_long.cast("double")) & (F.abs(d) < F.lit(1.0e15))
+    return F.when(integral, as_long.cast("string")).otherwise(d.cast("string"))
+
+
 def _scalar_as_json(v: Column) -> Column:
     """Scalar AnyValue -> its JSON fragment (Value.AsRaw then
     json.Marshal, pdata/pcommon/value.go): strings/bytes quoted, ints
@@ -492,7 +503,7 @@ def _scalar_as_json(v: Column) -> Column:
         F.when(v["stringValue"].isNotNull(), _json_quote(v["stringValue"])),
         v["intValue"],
         v["boolValue"].cast("string"),
-        v["doubleValue"].cast("string"),
+        _go_double_str(v["doubleValue"]),
         F.when(v["bytesValue"].isNotNull(), _json_quote(v["bytesValue"])),
     )
 
@@ -526,7 +537,7 @@ def _anyvalue_as_string(v: Column) -> Column:
         v["stringValue"],
         v["intValue"],
         v["boolValue"].cast("string"),
-        v["doubleValue"].cast("string"),
+        _go_double_str(v["doubleValue"]),
         v["bytesValue"],
         F.when(kvs.isNotNull(), kv_json),
         F.when(arr.isNotNull(), arr_json),

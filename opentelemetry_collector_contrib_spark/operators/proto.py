@@ -103,6 +103,7 @@ def _logs_data(
     resource = b"".join(
         _len_field(1, _keyvalue(k, _anyvalue(s=str(v))))
         for k, v in (resource_attrs or {}).items()
+        if v is not None
     )
     scope = _str_field(1, scope_name)
     scope_logs = _len_field(1, scope) + _len_field(2, record)
@@ -147,8 +148,14 @@ def encode_logs_proto(
                 ts_vals = pd.to_numeric(b[ts_col], errors="coerce")
             for idx in range(len(b)):
                 row = b.iloc[idx]
+                # null timestamp (NaT -> int64 min / NaN) omits the field
+                ts_nano = None
+                if ts_vals is not None:
+                    raw_ts = ts_vals.iloc[idx]
+                    if pd.notna(raw_ts) and int(raw_ts) > 0:
+                        ts_nano = int(raw_ts)
                 rec = _log_record(
-                    int(ts_vals.iloc[idx]) if ts_vals is not None else None,
+                    ts_nano,
                     int(row[severity_number_col])
                     if severity_number_col and pd.notna(row[severity_number_col])
                     else None,
@@ -175,8 +182,13 @@ def write_proto_files(df: DataFrame, path: str, *, proto_col: str = "proto") -> 
     (the fileexporter's framing, file_writer.go). Uses the executor-local
     filesystem API against ``path`` — on a cluster, point it at a shared
     mount; object stores want the committer-based sinks instead (the
-    parquet/json paths of ``write_routed``). Returns the file count."""
+    parquet/json paths of ``write_routed``). Overwrite semantics: stale
+    ``.binpb`` files from earlier runs are cleared first (there is no
+    committer on this raw-file path). Returns the file count."""
     os.makedirs(path, exist_ok=True)
+    for old in os.listdir(path):
+        if old.endswith(".binpb"):
+            os.remove(os.path.join(path, old))
 
     def write_partition(rows):
         from pyspark import TaskContext

@@ -52,13 +52,10 @@ __all__ = [
 _MASK64 = (1 << 64) - 1
 
 
-@pandas_udf(T.LongType())
-def fnv64a_udf(s: pd.Series) -> pd.Series:
+def _fnv64a_batch(bts: list[bytes]) -> np.ndarray:
     """FNV-1a 64 over UTF-8 bytes, batch-vectorized: strings are padded
     into a (rows, maxlen) uint8 matrix; the per-byte-position loop runs
     numpy ops across ALL rows at once (maxlen iterations total)."""
-    vals = s.fillna("")
-    bts = [v.encode("utf-8") for v in vals]
     n = len(bts)
     h = np.full(n, np.uint64(14695981039346656037), dtype=np.uint64)
     prime = np.uint64(1099511628211)
@@ -72,6 +69,14 @@ def fnv64a_udf(s: pd.Series) -> pd.Series:
             for j in range(maxlen):
                 active = lens > j
                 h[active] = (h[active] ^ arr[active, j].astype(np.uint64)) * prime
+    return h
+
+
+@pandas_udf(T.LongType())
+def fnv64a_udf(s: pd.Series) -> pd.Series:
+    vals = s.fillna("")
+    bts = [v.encode("utf-8") for v in vals]
+    h = _chunked_by_length(bts, _fnv64a_batch, 1)
     out = pd.Series(h.view(np.int64), index=s.index, dtype="Int64")
     out[s.isna()] = pd.NA
     return out
@@ -138,6 +143,13 @@ def mmh3_x64_128(key: bytes, seed: int = 0) -> tuple[int, int]:
     return h1, h2
 
 
+#: cap on one padded matrix (bytes). The matrix costs rows × longest
+#: string, so a single 1 MB outlier in a 64k-row Arrow batch would
+#: otherwise allocate ~65 GB; chunking by length keeps each matrix
+#: dense AND bounded.
+_PAD_MATRIX_BUDGET = 64 << 20
+
+
 def _pad_matrix(bts: list[bytes], block: int) -> tuple[np.ndarray, np.ndarray]:
     """Pack byte strings into a zero-padded (rows, width) uint8 matrix,
     width a multiple of ``block``. Zero padding makes each string's tail
@@ -150,6 +162,34 @@ def _pad_matrix(bts: list[bytes], block: int) -> tuple[np.ndarray, np.ndarray]:
     for i, b in enumerate(bts):
         arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
     return arr, lens
+
+
+def _chunked_by_length(bts: list[bytes], kernel, out_arrays: int):
+    """Run a padded-matrix kernel over length-sorted chunks so each
+    chunk's matrix stays under ``_PAD_MATRIX_BUDGET`` — total work stays
+    O(total bytes)-ish instead of O(rows × longest outlier). Results are
+    scattered back to input order."""
+    n = len(bts)
+    order = sorted(range(n), key=lambda i: len(bts[i]))
+    outs = [np.zeros(n, dtype=np.uint64) for _ in range(out_arrays)]
+    start = 0
+    while start < n:
+        end = start + 1
+        # grow the chunk while rows*width fits the budget (width is set
+        # by the chunk's LAST = longest row, thanks to the sort)
+        while end < n:
+            width = max(len(bts[order[end]]), 1)
+            if (end - start + 1) * width > _PAD_MATRIX_BUDGET:
+                break
+            end += 1
+        idx = order[start:end]
+        res = kernel([bts[i] for i in idx])
+        if out_arrays == 1:
+            res = (res,)
+        for o, r in zip(outs, res):
+            o[idx] = r
+        start = end
+    return outs[0] if out_arrays == 1 else tuple(outs)
 
 
 def _rotl32v(x: np.ndarray, r: int) -> np.ndarray:
@@ -224,7 +264,7 @@ def murmur3_128_udf(s: pd.Series) -> pd.Series:
     little-endian h1||h2; hash math batch-vectorized in numpy."""
     vals = s.fillna("")
     bts = [v.encode("utf-8") for v in vals]
-    h1, h2 = _mmh3_128_batch(bts)
+    h1, h2 = _chunked_by_length(bts, _mmh3_128_batch, 2)
     b1 = h1.astype("<u8").tobytes()
     b2 = h2.astype("<u8").tobytes()
     out = pd.Series(
@@ -634,7 +674,7 @@ def murmur3_32_udf(s: pd.Series) -> pd.Series:
     batch-vectorized in numpy."""
     vals = s.fillna("")
     bts = [v.encode("utf-8") for v in vals]
-    h = _mmh3_32_batch(bts)
+    h = _chunked_by_length(bts, _mmh3_32_batch, 1)
     hb = h.astype("<u4").tobytes()
     out = pd.Series(
         [hb[4 * i : 4 * i + 4].hex() for i in range(len(bts))],

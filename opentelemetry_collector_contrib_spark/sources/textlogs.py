@@ -40,7 +40,6 @@ where one reader goroutine owns one file.
 
 from __future__ import annotations
 
-import fnmatch
 import glob as _glob
 import re
 
@@ -54,26 +53,37 @@ def expand_paths(
 ) -> list[str]:
     """include minus exclude file-glob expansion
     (fileconsumer/config.go:73-92; matcher uses doublestar globs — ``**``
-    maps to Python glob recursive mode). Local-filesystem paths; remote
-    stores should pre-resolve their listing the same way."""
-    files: list[str] = []
+    maps to Python glob recursive mode). Both sides expand through the
+    SAME glob engine and subtract as file sets, so ``*`` never matches
+    across ``/`` the way a naive fnmatch would. Local-filesystem paths;
+    remote stores should pre-resolve their listing the same way."""
+    files: set[str] = set()
     for pat in include:
-        files.extend(_glob.glob(pat, recursive=True))
-    out = sorted(set(files))
+        files.update(_glob.glob(pat, recursive=True))
+    excluded: set[str] = set()
     for pat in exclude or []:
-        out = [f for f in out if not fnmatch.fnmatch(f, pat)]
-    return out
+        excluded.update(_glob.glob(pat, recursive=True))
+    return sorted(files - excluded)
 
 
-def snapshot_offsets(spark: SparkSession, paths: str | list[str]) -> dict:
+def snapshot_offsets(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    encoding: str | None = None,
+) -> dict:
     """Record the current per-file line counts — the batch analog of the
     reader's stored fingerprint+offset. Feed the result to
     ``read_text_logs(start_at="end", snapshot=...)`` to read only lines
-    appended after this snapshot."""
+    appended after this snapshot.
+
+    Pass the SAME ``encoding`` as the later read: the charset path rides
+    the CSV reader, which (unlike the text source) skips blank lines, so
+    counting through a different reader would misalign the watermark."""
     if isinstance(paths, str):
         paths = [paths]
     rows = (
-        spark.read.text(paths)
+        _read_lines(spark, paths, encoding)
         .groupBy(F.col("_metadata.file_path").alias("p"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -90,7 +100,10 @@ def _read_lines(
     # UTF-8-only, so other charsets ride the CSV reader's decoder with
     # quoting and delimiting disabled — NUL as quote char disables quote
     # handling, SOH as separator keeps each physical line one column
-    # (log lines don't carry those bytes)
+    # (log lines don't carry those bytes). DOCUMENTED DIVERGENCE: the
+    # CSV reader skips blank lines, so empty log lines are dropped on
+    # non-UTF-8 paths; snapshot_offsets(encoding=...) counts through
+    # this same reader so start_at=end watermarks stay aligned.
     return (
         spark.read.format("csv")
         .option("charset", encoding)

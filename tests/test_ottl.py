@@ -598,3 +598,16 @@ def test_comparison_coercion_table(spark):
         d, ['set(tag, "big") where s > n'], error_mode="ignore"
     )
     assert all(r["tag"] is None for r in ig2.collect())
+
+
+def test_string_math_requires_conversion(spark):
+    """LANGUAGE.md math rules extend beyond int/float mixing: string
+    operands error under propagate and are inert under ignore (Spark
+    would otherwise silently coerce '1' + 1 to 2.0)."""
+    d = spark.createDataFrame([(1, "1")], "n int, s string")
+    with pytest.raises(ValueError, match="math between"):
+        ottl.apply_statements(d, ["set(x, s + 1)"])
+    ig = ottl.apply_statements(d, ["set(x, s + 1)"], error_mode="ignore")
+    assert ig.collect()[0]["x"] is None
+    ok = ottl.apply_statements(d, ["set(x, Int(s) + 1)"])
+    assert ok.collect()[0]["x"] == 2

@@ -466,3 +466,55 @@ def test_enrich_lookup_key_regex_selection(spark):
     assert set(out.columns) == {"pod", "labelapp", "labelversion"}
     got = {r["pod"]: r.asDict() for r in out.collect()}
     assert got["p1"]["labelapp"] == "app-a" and got["p2"]["labelversion"] == "v2"
+
+
+def test_expand_paths_glob_not_fnmatch(spark, tmp_path):
+    """Exclude patterns go through the same glob engine as include: *
+    must NOT match across path separators (doublestar semantics)."""
+    from opentelemetry_collector_contrib_spark.sources import textlogs
+
+    (tmp_path / "a").mkdir(); (tmp_path / "a" / "b").mkdir()
+    (tmp_path / "a" / "debug.log").write_text("x\n")
+    (tmp_path / "a" / "b" / "debug.log").write_text("y\n")
+    got = textlogs.expand_paths(
+        [str(tmp_path / "**" / "*.log")],
+        exclude=[str(tmp_path / "*" / "debug.log")],  # one level only
+    )
+    assert got == [str(tmp_path / "a" / "b" / "debug.log")]
+
+
+def test_snapshot_offsets_encoding_alignment(spark, tmp_path):
+    """snapshot_offsets counts through the SAME reader as the charset
+    read path so start_at=end watermarks stay aligned when the CSV-based
+    decoder skips blank lines."""
+    from opentelemetry_collector_contrib_spark.sources import textlogs
+
+    p = tmp_path / "l.log"
+    p.write_bytes("a\n\nb\n".encode("latin-1"))  # blank line in the middle
+    snap = textlogs.snapshot_offsets(spark, str(p), encoding="ISO-8859-1")
+    assert list(snap.values()) == [2]  # blank line not counted
+    with p.open("ab") as f:
+        f.write("caf\xe9\n".encode("latin-1"))
+    out = textlogs.read_text_logs(
+        spark, str(p), encoding="ISO-8859-1", start_at="end", snapshot=snap
+    )
+    assert [r["text"] for r in out.collect()] == ["café"]
+
+
+def test_anyvalue_integral_double_renders_go_style(spark):
+    """json.Marshal(2.0) is \"2\" — integral doubles must not carry the
+    Spark-cast \".0\"."""
+    import json as _json
+
+    env = {"resourceLogs": [{"resource": {}, "scopeLogs": [{
+        "scope": {"name": "s", "version": "1"},
+        "logRecords": [{"timeUnixNano": "1",
+                        "body": {"doubleValue": 2.0},
+                        "attributes": [
+                            {"key": "a", "value": {"arrayValue": {"values": [
+                                {"doubleValue": 3.0}, {"doubleValue": 1.5}]}}},
+                        ]}]}]}]}
+    df = spark.createDataFrame([(_json.dumps(env),)], ["text"])
+    r = parsers.otlp_json_parse(df).collect()[0]
+    assert r["body"] == "2"
+    assert r["attributes"]["a"] == "[3,1.5]"

@@ -420,3 +420,27 @@ def test_count_connector_multi_grand_total_metric(spark, turns):
     assert rows[("all.turns", None)] == turns.count()
     roles = {ro: v for (m, ro), v in rows.items() if m == "by.role"}
     assert sum(roles.values()) == turns.count() and len(roles) == 4
+
+
+def test_proto_null_ts_and_null_resource_attr(spark, tmp_path):
+    """Code-review regressions: a null timestamp omits the field instead
+    of crashing the task; a null resource attribute is absent on the
+    wire, not the string \"None\"; rewriting a sink dir clears stale
+    frames."""
+    from opentelemetry_collector_contrib_spark.operators import proto
+
+    d = spark.createDataFrame(
+        [("b1", None, "c1"), ("b2", "2024-01-01 00:00:00", None)],
+        "text string, raw string, conv_id string",
+    ).select("text", F.to_timestamp("raw").alias("ts"), "conv_id")
+    enc = proto.encode_logs_proto(
+        d, body_col="text", ts_col="ts", resource_attr_cols=["conv_id"]
+    )
+    out_dir = str(tmp_path / "p")
+    proto.write_proto_files(enc, out_dir)
+    recs = {r["body"]: r for r in proto.decode_logs_proto(out_dir)}
+    assert "ts" not in recs["b1"] and recs["b1"]["resource"] == {"conv_id": "c1"}
+    assert recs["b2"]["ts"] > 0 and recs["b2"]["resource"] == {}
+    # overwrite semantics: second write with one row leaves one frame
+    proto.write_proto_files(enc.limit(1).repartition(1), out_dir)
+    assert len(proto.decode_logs_proto(out_dir)) == 1

@@ -112,3 +112,23 @@ def test_murmur3_batch_matches_scalar(data):
     h1, h2 = _mmh3_128_batch(data)
     for i, b in enumerate(data):
         assert (int(h1[i]), int(h2[i])) == mmh3_x64_128(b), b
+
+
+def test_murmur3_chunked_budget_parity():
+    """The length-chunked driver (memory cap against one long outlier)
+    must produce identical results to a single full-matrix pass."""
+    from opentelemetry_collector_contrib_spark.operators import udf_converters as u
+
+    data = [b"x" * ln for ln in (0, 3, 5000, 17, 64, 1, 100_000, 9)]
+    old = u._PAD_MATRIX_BUDGET
+    try:
+        u._PAD_MATRIX_BUDGET = 4096  # force many chunks
+        h32 = u._chunked_by_length(data, u._mmh3_32_batch, 1)
+        h1, h2 = u._chunked_by_length(data, u._mmh3_128_batch, 2)
+        hf = u._chunked_by_length(data, u._fnv64a_batch, 1)
+    finally:
+        u._PAD_MATRIX_BUDGET = old
+    for i, b in enumerate(data):
+        assert int(h32[i]) == mmh3_x86_32(b)
+        assert (int(h1[i]), int(h2[i])) == mmh3_x64_128(b)
+    assert int(hf[3]) == int(u._fnv64a_batch([data[3]])[0])
