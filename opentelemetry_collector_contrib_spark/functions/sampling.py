@@ -1,0 +1,97 @@
+"""Deterministic sampling + global shuffle for training-data prep.
+
+Beyond the reference's operator set (SURVEY's training-pipeline tier):
+a 100 TB corpus pipeline needs reproducible subset selection and a
+reproducible global permutation before epoch writing. All three ops are
+pure DataFrame plans — no RDDs, no driver-side materialization, fully
+deterministic given (key column, seed):
+
+  * ``global_shuffle`` — pseudo-random permutation by sorting on a
+    seeded xxhash64 of the key: ONE range-partitioned sort (the same
+    shuffle a ``repartition`` would pay), identical order on any
+    cluster size, no ``rand()`` (which is per-task nondeterministic
+    under retries — a silent correctness bug at scale).
+  * ``exact_sample`` — exact-k uniform sample as hash-order top-k:
+    TakeOrderedAndProject keeps only k rows per partition then merges
+    ≤ k·partitions rows on the driver-side heap — no full sort, no
+    full shuffle.
+  * ``stratified_sample`` — exact k per stratum via row_number over
+    the hash order within each stratum (one shuffle on the stratum
+    key), or fraction-based via deterministic hash thresholding (ZERO
+    shuffle — a narrow filter, unlike ``DataFrame.sampleBy`` whose
+    Bernoulli draw is not retry-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["global_shuffle", "exact_sample", "stratified_sample"]
+
+
+def _hash_order(key: Column, seed: int) -> Column:
+    # xxhash64 is the JVM-side seeded hash; stable across partitions,
+    # retries, and cluster sizes
+    return F.xxhash64(key, F.lit(seed))
+
+
+def global_shuffle(
+    df: DataFrame, key: str, *, seed: int = 0, num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic global permutation: sort by seeded hash of ``key``.
+    Different seeds give independent epoch orders; re-running a failed
+    job reproduces the identical order (rand() would not)."""
+    h = _hash_order(F.col(key), seed)
+    if num_partitions:
+        out = df.repartitionByRange(num_partitions, h)
+    else:
+        out = df.repartitionByRange(h)
+    return out.sortWithinPartitions(h)
+
+
+def exact_sample(df: DataFrame, k: int, key: str, *, seed: int = 0) -> DataFrame:
+    """Exact-k uniform-without-replacement sample = first k rows of the
+    seeded hash order. Compiles to TakeOrderedAndProject: partition-local
+    top-k, then a bounded merge — never a full sort of the corpus."""
+    h = _hash_order(F.col(key), seed)
+    return df.orderBy(h).limit(k)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    *,
+    k: int | None = None,
+    fractions: dict | None = None,
+    key: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum sampling, deterministic under retries.
+
+    ``k``: exact k rows per stratum — row_number over the seeded hash
+    order within each stratum (one shuffle on ``strata_col``).
+    ``fractions``: {stratum: fraction} — hash-threshold filter, a
+    NARROW op with zero shuffle: a row survives when its seeded hash
+    (mapped to [0,1)) falls under its stratum's fraction. Strata absent
+    from the dict are dropped (DataFrame.sampleBy semantics).
+    """
+    if (k is None) == (fractions is None):
+        raise ValueError("exactly one of k / fractions")
+    h = _hash_order(F.col(key), seed)
+    if k is not None:
+        w = Window.partitionBy(strata_col).orderBy(h)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    # map the signed 64-bit hash to [0, 1)
+    u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    frac = None
+    for stratum, f in fractions.items():
+        c = F.col(strata_col) == stratum
+        frac = F.when(c, F.lit(float(f))) if frac is None else frac.when(
+            c, F.lit(float(f))
+        )
+    frac = frac.otherwise(F.lit(0.0)) if frac is not None else F.lit(0.0)
+    return df.filter(u < frac)
