@@ -444,3 +444,104 @@ def test_proto_null_ts_and_null_resource_attr(spark, tmp_path):
     # overwrite semantics: second write with one row leaves one frame
     proto.write_proto_files(enc.limit(1).repartition(1), out_dir)
     assert len(proto.decode_logs_proto(out_dir)) == 1
+
+
+def test_count_connector_multi_randomized_vs_single(spark):
+    """Randomized (seeded) configs: the one-pass multi-metric result
+    must equal N independent single-metric connector calls."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (
+            rng.choice(["", "a", "b", "c", None]),
+            rng.choice(["x", "y"]),
+            rng.randint(0, 5),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "tool string, role string, v int")
+    for trial in range(3):
+        specs = {}
+        for m in range(rng.randint(2, 4)):
+            attrs = rng.sample(["tool", "role"], rng.randint(0, 2))
+            defaults = (
+                {"tool": "none"}
+                if "tool" in attrs and rng.random() < 0.5
+                else {}
+            )
+            cond = (
+                [f'v >= {rng.randint(0, 4)}'] if rng.random() < 0.5 else None
+            )
+            specs[f"m{trial}.{m}"] = connectors.MetricSpec(
+                attrs=attrs, defaults=defaults, conditions=cond
+            )
+        multi = connectors.count_connector_multi(df, specs)
+        got = {}
+        for r in multi.collect():
+            d = r.asDict()
+            got[(d["metric"], d.get("tool"), d.get("role"))] = d["value"]
+        for name, spec in specs.items():
+            from opentelemetry_collector_contrib_spark.operators import ottl
+
+            cond_col = None
+            if spec.conditions:
+                cond_col = ottl.compile_condition(df, spec.conditions[0])
+            single = connectors.count_connector(
+                df, spec.attrs, condition=cond_col,
+                defaults=spec.defaults, name="n",
+            )
+            want = {}
+            for r in single.collect():
+                key = (
+                    name,
+                    str(r["tool"]) if "tool" in spec.attrs else None,
+                    str(r["role"]) if "role" in spec.attrs else None,
+                )
+                want[key] = r["n"]
+            mine = {k: v for k, v in got.items() if k[0] == name}
+            assert mine == want, (name, spec)
+
+
+def test_pack_sequences_matches_python_greedy(spark):
+    """The JVM fold must equal a plain-Python next-fit reference on the
+    same per-shard order."""
+    import random
+
+    from opentelemetry_collector_contrib_spark.functions import packing
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 150)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    budget = 100
+    out = packing.pack_sequences(df, budget=budget, num_shards=4, seed=9)
+    got = {
+        (r["shard"], r["bin_idx"]): (list(r["doc_ids"]), r["total_tokens"])
+        for r in out.collect()
+    }
+
+    # python reference: same shard/order hashes pulled from Spark
+    import pyspark.sql.functions as SF
+
+    keyed = df.select(
+        "doc_id", "n_tokens",
+        SF.pmod(SF.xxhash64("doc_id", SF.lit(9)), SF.lit(4)).alias("shard"),
+        SF.xxhash64("doc_id", SF.lit(10)).alias("o"),
+    ).collect()
+    shards: dict = {}
+    for r in sorted(keyed, key=lambda r: (r["shard"], r["o"])):
+        shards.setdefault(r["shard"], []).append((r["doc_id"], r["n_tokens"]))
+    want = {}
+    for sh, docs in shards.items():
+        bins, cur, sz = [], [], 0
+        for d, t in docs:
+            if cur and sz + t > budget:
+                bins.append((cur, sz))
+                cur, sz = [], 0
+            cur.append(d)
+            sz += t
+        if cur:
+            bins.append((cur, sz))
+        for i, (ids, tot) in enumerate(bins):
+            want[(sh, i)] = (ids, tot)
+    assert got == want
