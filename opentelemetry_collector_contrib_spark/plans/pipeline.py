@@ -119,17 +119,44 @@ def per_sink_counts(result: PipelineResult) -> DataFrame:
     return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).orderBy("sink")
 
 
+def pipeline_metrics(result: PipelineResult) -> DataFrame:
+    """The north star's batch-processor aggregate block — per-sink record
+    counts PLUS per-sink/per-role and per-tool turn histograms — as ONE
+    multi-metric countconnector pass over the routed stream (one scan,
+    one shuffle; see connectors.count_connector_multi)."""
+    routed = connectors.routed_union(result.tagged, result.sink_map)
+    return connectors.count_connector_multi(
+        routed,
+        {
+            "records.per_sink": connectors.MetricSpec(attrs=["sink"]),
+            "turns.per_sink_role": connectors.MetricSpec(
+                attrs=["sink", "role"]
+            ),
+            "turns.per_tool": connectors.MetricSpec(
+                attrs=["tool"], defaults={"tool": "none"}
+            ),
+        },
+    )
+
+
 def run(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str | None = None,
     *,
     parse_mode: str = "native",
+    with_histograms: bool = False,
 ) -> dict:
-    """Execute end-to-end; optionally write per-sink tables; return metrics."""
+    """Execute end-to-end; optionally write per-sink tables; return metrics.
+
+    ``with_histograms`` adds the full metric block (per-sink counts +
+    per-sink/role + per-tool histograms) computed in one extra pass via
+    the multi-metric connector, under ``out["metrics"]``."""
     result = build(spark, sf_dir, parse_mode=parse_mode)
     counts = {r["sink"]: r["n"] for r in per_sink_counts(result).collect()}
     out = {"per_sink_counts": counts}
+    if with_histograms:
+        out["metrics"] = [r.asDict() for r in pipeline_metrics(result).collect()]
     if out_dir:
         paths = connectors.write_routed(result.tagged, result.sink_map, out_dir)
         out["sink_paths"] = paths

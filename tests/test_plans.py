@@ -545,3 +545,22 @@ def test_pack_sequences_matches_python_greedy(spark):
         for i, (ids, tot) in enumerate(bins):
             want[(sh, i)] = (ids, tot)
     assert got == want
+
+
+def test_pipeline_metrics_single_pass_block(spark, sf_dir):
+    """The flagship's metric block (north star: per-sink counts +
+    per-tool/per-role histograms) in one multi-metric pass; its per-sink
+    slice must equal the standalone per_sink_counts connector."""
+    from opentelemetry_collector_contrib_spark.plans import pipeline as pl
+
+    res = pl.run(spark, sf_dir, with_histograms=True)
+    per_sink_from_block = {
+        m["sink"]: m["value"]
+        for m in res["metrics"]
+        if m["metric"] == "records.per_sink"
+    }
+    assert per_sink_from_block == res["per_sink_counts"]
+    tools = [m for m in res["metrics"] if m["metric"] == "turns.per_tool"]
+    assert {m["tool"] for m in tools} >= {"bash", "none"}
+    roles = [m for m in res["metrics"] if m["metric"] == "turns.per_sink_role"]
+    assert sum(m["value"] for m in roles) == sum(res["per_sink_counts"].values())
