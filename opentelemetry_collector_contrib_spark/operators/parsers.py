@@ -545,9 +545,11 @@ def _anyvalue_as_string(v: Column) -> Column:
 
 OTLP_LOGS_SCHEMA = f"""
 resourceLogs ARRAY<STRUCT<
-  resource: STRUCT<attributes: {_OTLP_KV}>,
+  resource: STRUCT<attributes: {_OTLP_KV}, droppedAttributesCount: INT>,
+  schemaUrl: STRING,
   scopeLogs: ARRAY<STRUCT<
-    scope: STRUCT<name: STRING, version: STRING>,
+    scope: STRUCT<name: STRING, version: STRING, attributes: {_OTLP_KV}>,
+    schemaUrl: STRING,
     logRecords: ARRAY<STRUCT<
       timeUnixNano: STRING,
       observedTimeUnixNano: STRING,
@@ -601,11 +603,17 @@ def otlp_json_parse(df: DataFrame, *, parse_from: str = "text") -> DataFrame:
         _otlp_attrs_map(F.col("_rl.resource.attributes")).alias("resource_attrs"),
         F.col("_sl.scope.name").alias("scope_name"),
         F.col("_sl.scope.version").alias("scope_version"),
+        F.col("_rl.schemaUrl").alias("resource_schema_url"),
+        F.col("_sl.schemaUrl").alias("scope_schema_url"),
         F.col("_lr.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.col("_lr.observedTimeUnixNano").cast("long").alias(
+            "observed_time_unix_nano"
+        ),
         F.col("_lr.severityNumber").alias("severity_number"),
         F.col("_lr.severityText").alias("severity_text"),
         _anyvalue_as_string(F.col("_lr.body")).alias("body"),
         _otlp_attrs_map(F.col("_lr.attributes")).alias("attributes"),
+        F.col("_lr.droppedAttributesCount").alias("dropped_attributes_count"),
         F.col("_lr.traceId").alias("trace_id_hex"),
         F.col("_lr.spanId").alias("span_id_hex"),
     )

@@ -355,7 +355,9 @@ def test_otlp_anyvalue_full_model(spark):
                          {"key": "empty_arr",
                           "value": {"arrayValue": {"values": []}}},
                      ]},
-                    {"timeUnixNano": "2", "body": {"boolValue": True},
+                    {"timeUnixNano": "2", "observedTimeUnixNano": "9",
+                     "droppedAttributesCount": 3,
+                     "body": {"boolValue": True},
                      "attributes": []},
                 ]}]}]}
     import json
@@ -369,6 +371,11 @@ def test_otlp_anyvalue_full_model(spark):
     assert r1["attributes"]["empty_arr"] == "[]"
     assert r1["resource_attrs"]["svc"] == "api"
     assert r2["body"] == "true"
+    # plog record passthrough fields (logs.proto): observed ts, dropped
+    # count, schema urls
+    assert r2["observed_time_unix_nano"] == 9
+    assert r2["dropped_attributes_count"] == 3
+    assert "resource_schema_url" in r2.asDict()
 
 
 def test_read_text_logs_exclude_and_gzip(spark, tmp_path):
