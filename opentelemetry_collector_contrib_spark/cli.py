@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--trigger", default="availableNow",
                     help="availableNow | processingTime:<interval>")
+    ap.add_argument("--flush-interval", type=float, default=None,
+                    help="fileexporter flush_interval seconds (streaming; "
+                         "maps to the processingTime trigger)")
+    ap.add_argument("--with-histograms", action="store_true",
+                    help="emit the full metric block (per-sink counts + "
+                         "per-sink/role + per-tool histograms, one pass)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -60,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
             processing_time=args.trigger.split(":", 1)[-1]
             if args.trigger.startswith("processingTime")
             else "5 seconds",
+            flush_interval=args.flush_interval,
         )
         q.awaitTermination()
         print(json.dumps({"status": "stream-finished"}))
@@ -68,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
     from .plans import pipeline
 
     res = pipeline.run(
-        spark, args.input_dir, out_dir=args.out_dir, parse_mode=args.parse_mode
+        spark, args.input_dir, out_dir=args.out_dir,
+        parse_mode=args.parse_mode, with_histograms=args.with_histograms,
     )
     print(json.dumps(res, default=str))
     return 0

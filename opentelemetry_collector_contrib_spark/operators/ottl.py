@@ -53,7 +53,13 @@ from .udf_converters import (
     remove_xml_udf,
 )
 
-__all__ = ["compile_statement", "apply_statements", "Statement", "CONVERTERS"]
+__all__ = [
+    "compile_statement",
+    "apply_statements",
+    "compile_condition",
+    "Statement",
+    "CONVERTERS",
+]
 
 
 # ---------------------------------------------------------------------------
