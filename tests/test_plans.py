@@ -564,3 +564,13 @@ def test_pipeline_metrics_single_pass_block(spark, sf_dir):
     assert {m["tool"] for m in tools} >= {"bash", "none"}
     roles = [m for m in res["metrics"] if m["metric"] == "turns.per_sink_role"]
     assert sum(m["value"] for m in roles) == sum(res["per_sink_counts"].values())
+
+
+def test_stdout_and_drop_exports(spark, turns, capsys):
+    import json
+
+    n = connectors.stdout_export(turns.select("conv_id", "turn_idx"), limit=3)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert n == 3 and len(out) == 3
+    assert {"conv_id", "turn_idx"} <= set(json.loads(out[0]))
+    connectors.drop_export(turns.limit(10))  # executes, no output
