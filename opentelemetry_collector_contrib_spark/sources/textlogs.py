@@ -84,33 +84,67 @@ def snapshot_offsets(
         paths = [paths]
     rows = (
         _read_lines(spark, paths, encoding)
-        .groupBy(F.col("_metadata.file_path").alias("p"))
+        .groupBy(F.col("_path").alias("p"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     return {r["p"]: r["n"] for r in rows}
 
 
+#: charsets whose code units span multiple bytes: byte-level line
+#: splitting would cut characters in half, so these decode whole files
+_MULTIBYTE = {
+    "utf-16", "utf-16le", "utf-16be", "utf-32", "utf-32le", "utf-32be",
+    "utf16", "utf32",
+}
+
+
 def _read_lines(
     spark: SparkSession, paths: list[str], encoding: str | None
 ) -> DataFrame:
+    """Normalized line reader: columns ``value`` (one log line),
+    ``_path``, ``_line_id`` (per-file ascending order key)."""
     if encoding is None or encoding.lower() in ("utf-8", "utf8"):
-        return spark.read.text(paths)
-    # charset decode (pkg/stanza/decode/decoder.go): the text source is
-    # UTF-8-only, so other charsets ride the CSV reader's decoder with
-    # quoting and delimiting disabled — NUL as quote char disables quote
-    # handling, SOH as separator keeps each physical line one column
-    # (log lines don't carry those bytes). DOCUMENTED DIVERGENCE: the
-    # CSV reader skips blank lines, so empty log lines are dropped on
-    # non-UTF-8 paths; snapshot_offsets(encoding=...) counts through
-    # this same reader so start_at=end watermarks stay aligned.
-    return (
+        src = spark.read.text(paths)
+        return src.select(
+            "value",
+            F.col("_metadata.file_path").alias("_path"),
+            F.monotonically_increasing_id().alias("_line_id"),
+        )
+    if encoding.lower().replace("_", "-") in _MULTIBYTE:
+        # multi-byte charsets (pkg/stanza/decode/decoder.go handles these
+        # via a streaming decoder): Hadoop's record reader splits on RAW
+        # bytes, which would shear UTF-16/32 code units — decode each
+        # WHOLE file JVM-side (binaryFile source) and split lines after.
+        # One row per file pre-explode: sized for rotated log files, the
+        # same unit the reference's one-reader-per-file model assumes.
+        raw = spark.read.format("binaryFile").load(paths)
+        txt = F.decode(F.col("content"), encoding)
+        lines = F.split(F.regexp_replace(txt, "\r?\n$", ""), "\r?\n")
+        return raw.select(
+            F.col("path").alias("_path"),
+            F.posexplode(lines).alias("_line_id", "value"),
+        ).select("value", "_path", "_line_id")
+    # single-byte ASCII-superset charsets ride the CSV reader's decoder
+    # (splittable, scales to any file size) with quoting and delimiting
+    # disabled — NUL as quote char disables quote handling, SOH as
+    # separator keeps each physical line one column (log lines don't
+    # carry those bytes). DOCUMENTED DIVERGENCE: the CSV reader skips
+    # blank lines, so empty log lines are dropped on this path;
+    # snapshot_offsets(encoding=...) counts through this same reader so
+    # start_at=end watermarks stay aligned.
+    src = (
         spark.read.format("csv")
         .option("charset", encoding)
         .option("quote", "\u0000")
         .option("sep", "\u0001")
         .schema("value string")
         .load(paths)
+    )
+    return src.select(
+        "value",
+        F.col("_metadata.file_path").alias("_path"),
+        F.monotonically_increasing_id().alias("_line_id"),
     )
 
 
@@ -149,11 +183,9 @@ def read_text_logs(
             raise ValueError("include minus exclude matched no files")
     df = _read_lines(spark, paths, encoding).select(
         F.col("value").alias("text"),
-        F.col("_metadata.file_path").alias("log_file_path"),
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-            "log_file_name"
-        ),
-        F.monotonically_increasing_id().alias("_line_id"),
+        F.col("_path").alias("log_file_path"),
+        F.element_at(F.split(F.col("_path"), "/"), -1).alias("log_file_name"),
+        "_line_id",
     )
     needs_lineno = header_pattern is not None or (
         start_at == "end" and snapshot is not None

@@ -525,3 +525,26 @@ def test_anyvalue_integral_double_renders_go_style(spark):
     r = parsers.otlp_json_parse(df).collect()[0]
     assert r["body"] == "2"
     assert r["attributes"]["a"] == "[3,1.5]"
+
+
+def test_read_text_logs_utf16(spark, tmp_path):
+    """Multi-byte charsets must decode whole files before line
+    splitting — Hadoop's byte-level record reader would shear UTF-16
+    code units."""
+    from opentelemetry_collector_contrib_spark.sources import textlogs
+
+    p = tmp_path / "u16.log"
+    p.write_bytes("héllo wörld\n\nsecond liñe\n".encode("utf-16"))
+    out = textlogs.read_text_logs(spark, str(p), encoding="UTF-16")
+    assert [r["text"] for r in out.orderBy("log_file_name").collect()] == [
+        "héllo wörld", "", "second liñe"
+    ]
+    # snapshot alignment on the multi-byte path
+    snap = textlogs.snapshot_offsets(spark, str(p), encoding="UTF-16")
+    assert list(snap.values()) == [3]
+    with p.open("ab") as f:
+        f.write("drittë\n".encode("utf-16-le"))  # append, no BOM
+    out2 = textlogs.read_text_logs(
+        spark, str(p), encoding="UTF-16", start_at="end", snapshot=snap
+    )
+    assert [r["text"] for r in out2.collect()] == ["drittë"]
