@@ -52,7 +52,14 @@ def main(argv: list[str] | None = None) -> int:
     dims = args.dims_dir or args.input_dir
 
     if args.streaming:
-        from .streaming import pipeline as spipe
+        # absolute fallback: spark-submit runs this FILE as __main__ (not
+        # as a package member); the --py-files zip provides the package
+        try:
+            from .streaming import pipeline as spipe
+        except ImportError:
+            from opentelemetry_collector_contrib_spark.streaming import (
+                pipeline as spipe,
+            )
 
         if not args.checkpoint_dir:
             ap.error("--streaming requires --checkpoint-dir")
@@ -72,7 +79,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"status": "stream-finished"}))
         return 0
 
-    from .plans import pipeline
+    try:
+        from .plans import pipeline
+    except ImportError:
+        from opentelemetry_collector_contrib_spark.plans import pipeline
 
     res = pipeline.run(
         spark, args.input_dir, out_dir=args.out_dir,

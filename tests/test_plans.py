@@ -3,6 +3,7 @@ routing strategy equivalence."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
@@ -574,3 +575,44 @@ def test_stdout_and_drop_exports(spark, turns, capsys):
     assert n == 3 and len(out) == 3
     assert {"conv_id", "turn_idx"} <= set(json.loads(out[0]))
     connectors.drop_export(turns.limit(10))  # executes, no output
+
+
+def test_spark_submit_py_files_entrypoint(tmp_path):
+    """North-rule invocation path: the pipeline runs via
+    `spark-submit --py-files <package.zip> cli.py` as a standalone
+    script (no pip install), producing the same per-sink counts."""
+    import json
+    import shutil
+    import subprocess
+    import zipfile
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(submit):
+        pytest.skip("spark-submit not on PATH")
+    pkg_zip = str(tmp_path / "pkg.zip")
+    root = "/root/repo"
+    with zipfile.ZipFile(pkg_zip, "w") as z:
+        for dirpath, _dirs, files in os.walk(
+            os.path.join(root, "opentelemetry_collector_contrib_spark")
+        ):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                full = os.path.join(dirpath, f)
+                z.write(full, os.path.relpath(full, root))
+    proc = subprocess.run(
+        [
+            submit, "--master", "local[4]", "--py-files", pkg_zip,
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(root, "opentelemetry_collector_contrib_spark/cli.py"),
+            "--input-dir", "/root/testdata/sf0.001",
+            "--out-dir", str(tmp_path / "out"),
+        ],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["per_sink_counts"] == {
+        "audit": 147, "catchall": 246, "errors": 147,
+        "incident": 565, "risky_tools": 42,
+    }
