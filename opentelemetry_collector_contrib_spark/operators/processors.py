@@ -119,6 +119,7 @@ def enrich_lookup(
     *,
     insert_if_absent: bool = True,
     key_regex: str | None = None,
+    key_template: str | None = None,
 ) -> DataFrame:
     """Enrichment lookup (processor/k8sattributesprocessor/processor.go:121-194).
 
@@ -135,12 +136,23 @@ def enrich_lookup(
     label/annotation ``key_regex`` extraction rules
     (k8sattributesprocessor/config.go:131+): only dim columns fully
     matching the regex are joined; the rest are never even broadcast
-    (column pruning reaches the dim scan).
+    (column pruning reaches the dim scan). ``key_template`` renames the
+    attached columns the way extraction rules name their tags (the
+    ``k8s.pod.labels.%s`` default): ``{key}`` expands to the matched
+    column name, ``{1}``/``{2}`` to the key_regex capture groups.
     """
     if key_regex is not None:
         rx = re.compile(key_regex)
         keep = [c for c in dim.columns if c == on or rx.fullmatch(c)]
         dim = dim.select(*keep)
+        if key_template is not None:
+            for c in keep:
+                if c == on:
+                    continue
+                m = rx.fullmatch(c)
+                dim = dim.withColumnRenamed(
+                    c, key_template.format(c, *m.groups(), key=c)
+                )
     overlap = [c for c in dim.columns if c != on and c in df.columns]
     dim_renamed = dim
     for c in overlap:

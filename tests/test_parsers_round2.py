@@ -473,6 +473,16 @@ def test_enrich_lookup_key_regex_selection(spark):
     assert set(out.columns) == {"pod", "labelapp", "labelversion"}
     got = {r["pod"]: r.asDict() for r in out.collect()}
     assert got["p1"]["labelapp"] == "app-a" and got["p2"]["labelversion"] == "v2"
+    # tag naming: extraction rules rename matched keys
+    # (k8s.pod.labels.%s default; capture groups usable as {1})
+    named = processors.enrich_lookup(
+        facts, dim, on="pod",
+        key_regex=r"label(.*)", key_template="k8s.pod.labels.{1}",
+    )
+    assert set(named.columns) == {"pod", "k8s.pod.labels.app",
+                                  "k8s.pod.labels.version"}
+    r1 = {r["pod"]: r.asDict() for r in named.collect()}
+    assert r1["p1"]["k8s.pod.labels.app"] == "app-a"
 
 
 def test_expand_paths_glob_not_fnmatch(spark, tmp_path):
