@@ -41,12 +41,16 @@ def pack_sequences(
     """
     shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(num_shards))
     order = F.xxhash64(F.col(id_col), F.lit(seed + 1))
+    # keep the id column's NATIVE type in the pair struct — a cast to
+    # long would null out string/UUID doc ids, silently losing their
+    # identities from the returned doc_ids arrays
+    id_t = df.schema[id_col].dataType.simpleString()
     pair = F.struct(
         order.alias("o"),
-        F.col(id_col).cast("long").alias("d"),
+        F.col(id_col).alias("d"),
         F.col(tokens_col).cast("long").alias("t"),
     )
-    pair_t = "struct<o:bigint,d:bigint,t:bigint>"
+    pair_t = f"struct<o:bigint,d:{id_t},t:bigint>"
     zero = F.expr(
         f"named_struct('bins', cast(array() as array<array<{pair_t}>>), "
         f"'cur', cast(array() as array<{pair_t}>), 'sz', cast(0 as bigint))"

@@ -353,11 +353,20 @@ def _multi_metric(
                 cname, F.when(missing, F.lit(dflt)).otherwise(c)
             )
     ordered = list(key_cols.values())  # leftmost = grouping_id MSB
-    # one grouping set per distinct effective attr list
+    # one grouping set per distinct effective attr MEMBERSHIP: grouping_id
+    # is membership-based, so two metrics listing the same attrs in a
+    # different order must share ONE set (canonicalize by position in
+    # `ordered`) — duplicate sets would each match every metric's
+    # keep-filter and double-count
     set_of_metric: list[tuple[str, ...]] = []
     distinct_sets: list[tuple[str, ...]] = []
     for spec in metrics.values():
-        cols = tuple(key_cols[_key(a, spec)] for a in spec.attrs)
+        cols = tuple(
+            sorted(
+                {key_cols[_key(a, spec)] for a in spec.attrs},
+                key=ordered.index,
+            )
+        )
         set_of_metric.append(cols)
         if cols not in distinct_sets:
             distinct_sets.append(cols)
@@ -443,12 +452,14 @@ def sum_connector_multi(
     return _multi_metric(df, metrics, kind="sum")
 
 
-def stdout_export(df: DataFrame, *, limit: int | None = None) -> int:
+def stdout_export(df: DataFrame, *, limit: int | None = 100) -> int:
     """stanza stdout output / debugexporter: records as JSON lines on the
     driver's stdout. A console is a driver resource, so this collects —
-    cap with ``limit`` (the reference's debugexporter likewise samples
-    via verbosity); it is a debug tool, not a data path. Returns the
-    number of rows printed."""
+    the default ``limit=100`` keeps an accidental call on a large
+    DataFrame from OOMing the driver; pass ``limit=None`` EXPLICITLY to
+    dump everything (the reference's debugexporter likewise samples via
+    verbosity). It is a debug tool, not a data path. Returns the number
+    of rows printed."""
     rows = (df.limit(limit) if limit is not None else df).toJSON().collect()
     for r in rows:
         print(r)

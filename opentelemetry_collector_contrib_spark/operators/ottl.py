@@ -665,7 +665,27 @@ def _type_family(node, ctx: _Ctx) -> str | None:
         dt = dict(ctx.df.dtypes).get(node.column_name())
         if dt is None:
             return None
+        if dt.startswith("interval"):
+            return "duration"
         return _DTYPE_FAMILY.get(dt.split("(")[0])
+    if isinstance(node, Call):
+        # converters with a statically-known family, so time/duration
+        # math (LANGUAGE.md L198-218) type-checks through them
+        if node.name == "Duration":
+            return "duration"  # engine representation: int64 nanoseconds
+        if node.name in ("Time", "TruncateTime", "Now", "Unix"):
+            return "time"
+        return None
+    if isinstance(node, BinOp) and node.op in ("+", "-", "*", "/"):
+        fl = _type_family(node.left, ctx)
+        fr = _type_family(node.right, ctx)
+        if fl == "time" and fr == "time":
+            return "duration"  # time - time
+        if "time" in (fl, fr) and "duration" in (fl, fr):
+            return "time"
+        if fl == fr:
+            return fl
+        return None
     return None
 
 
@@ -706,6 +726,47 @@ def _compile(node, ctx: _Ctx) -> Column:
                     f"cannot order-compare {fl} and {fr} (LANGUAGE.md "
                     "comparison rules)"
                 )
+        elif node.op in ("+", "-", "*", "/") and (
+            "time" in (fl, fr) or "duration" in (fl, fr)
+        ):
+            # LANGUAGE.md L198-218: time.Time / time.Duration support
+            # only + and -, with exactly these result rules.  Engine
+            # representation: duration = int64 nanoseconds (the same
+            # representation Go's time.Duration uses), time = timestamp.
+            ok = node.op in ("+", "-") and (
+                (fl == "time" and fr == "time" and node.op == "-")
+                or (fl == "time" and fr == "duration")
+                or (fl == "duration" and fr == "time" and node.op == "+")
+                or (fl == "duration" and fr == "duration")
+            )
+            if not ok:
+                if ctx.error_mode in ("ignore", "silent"):
+                    return F.lit(None)
+                raise ValueError(
+                    f"math '{node.op}' between {fl} and {fr} is not a "
+                    "supported time/duration operation (LANGUAGE.md "
+                    "math rules: time-time, time±duration, "
+                    "duration+time, duration±duration)"
+                )
+            if fl == "time" and fr == "time":
+                # time - time -> duration (nanoseconds; Spark's grain is
+                # microseconds, the sub-µs digits are zero)
+                return (
+                    F.unix_micros(l.cast("timestamp"))
+                    - F.unix_micros(r.cast("timestamp"))
+                ) * 1000
+            if fl == "time":  # time ± duration -> time
+                shift = (r / F.lit(1000)).cast("long")  # nanos -> micros
+                base_us = F.unix_micros(l.cast("timestamp"))
+                return F.timestamp_micros(
+                    base_us + shift if node.op == "+" else base_us - shift
+                )
+            if fr == "time":  # duration + time -> time
+                shift = (l / F.lit(1000)).cast("long")
+                return F.timestamp_micros(
+                    F.unix_micros(r.cast("timestamp")) + shift
+                )
+            # duration ± duration: plain int64 arithmetic below
         elif node.op in ("+", "-", "*", "/") and (
             fl is not None
             and fr is not None

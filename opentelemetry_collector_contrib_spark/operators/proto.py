@@ -37,6 +37,19 @@ from pyspark.sql import types as T
 __all__ = ["encode_logs_proto", "write_proto_files", "decode_logs_proto"]
 
 
+def _isnull(v) -> bool:
+    # pandas nulls from numeric/datetime Arrow columns arrive as
+    # NaN/NaT, not None — those must be OMITTED from OTLP attributes,
+    # not serialized as literal "nan"/"NaT" strings.  pd.isna on a
+    # non-scalar (list/array attr value) returns an array; guard it.
+    if v is None:
+        return True
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
 def _varint(n: int) -> bytes:
     out = bytearray()
     while True:
@@ -91,7 +104,7 @@ def _log_record(
     if body is not None:
         out += _len_field(5, _anyvalue(s=body))
     for k, v in (attrs or {}).items():
-        if v is None:
+        if _isnull(v):
             continue
         out += _len_field(6, _keyvalue(k, _anyvalue(s=str(v))))
     return bytes(out)
@@ -103,7 +116,7 @@ def _logs_data(
     resource = b"".join(
         _len_field(1, _keyvalue(k, _anyvalue(s=str(v))))
         for k, v in (resource_attrs or {}).items()
-        if v is not None
+        if not _isnull(v)
     )
     scope = _str_field(1, scope_name)
     scope_logs = _len_field(1, scope) + _len_field(2, record)

@@ -195,10 +195,11 @@ def read_text_logs(
         df = df.withColumn("_lineno", F.row_number().over(w))
     header_cols: list[str] = []
     if header_pattern is not None:
-        groups = sorted(
-            re.compile(header_pattern).groupindex,
-            key=re.compile(header_pattern).groupindex.get,
-        )
+        # use the compiled pattern's actual group numbers: a pattern
+        # mixing unnamed groups with named ones (e.g. '(#+)(?P<env>\w+)')
+        # would otherwise extract the wrong group for each name
+        gidx = re.compile(header_pattern).groupindex
+        groups = sorted(gidx, key=gidx.get)
         if not groups:
             raise ValueError("header_pattern needs named capture groups")
         jpat = header_pattern.replace("(?P<", "(?<")
@@ -207,8 +208,8 @@ def read_text_logs(
             .select(
                 "log_file_path",
                 *[
-                    F.regexp_extract("text", jpat, i + 1).alias(g)
-                    for i, g in enumerate(groups)
+                    F.regexp_extract("text", jpat, gidx[g]).alias(g)
+                    for g in groups
                 ],
                 F.lit(True).alias("_has_header"),
             )
