@@ -165,10 +165,15 @@ def q_count_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     Covers the round-1/2 single-metric queries as metrics #1 and #2:
     missing-attr exclusion (counter.go:71-73) and default_value
     substitution (config.go:186-190); metric #3 exercises an OTTL
-    condition string compiled by the connector itself."""
-    turns = src.transcripts_df(spark, sf_dir)
+    condition string compiled by the connector itself; metric #4 (the
+    former ``errors_per_team`` query, folded in round 4 to free a board
+    slot) is a conditional count over a parse+enrich upstream, proving
+    the one-pass block composes with derived attributes. All four
+    metrics still share ONE scan + ONE shuffle (grouping sets)."""
+    df = _parsed(spark, sf_dir)
+    df = processors.enrich_lookup(df, src.conv_dim_df(spark, sf_dir), on="conv_id")
     out = connectors.count_connector_multi(
-        turns,
+        df,
         {
             "turns.by_tool_role": connectors.MetricSpec(attrs=["tool", "role"]),
             "turns.by_tool_role_default": connectors.MetricSpec(
@@ -177,9 +182,12 @@ def q_count_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assistant.turns": connectors.MetricSpec(
                 attrs=["role"], conditions=['role == "assistant"']
             ),
+            "errors.per_team": connectors.MetricSpec(
+                attrs=["team"], conditions=['level == "ERROR"']
+            ),
         },
     )
-    return out.select("metric", "tool", "role", F.col("value").alias("n"))
+    return out.select("metric", "tool", "role", "team", F.col("value").alias("n"))
 
 
 def q_groupbyattrs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,15 +209,6 @@ def q_groupbyattrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_errors_per_team(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """conditional count (counter.go:76-86) over enriched stream."""
-    df = _parsed(spark, sf_dir)
-    df = processors.enrich_lookup(df, src.conv_dim_df(spark, sf_dir), on="conv_id")
-    return connectors.count_connector(
-        df, ["team"], condition=F.col("level") == "ERROR", name="n"
-    )
-
-
 def q_sum_items_by_team(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sumconnector (sumconnector/config.go:33-44)."""
     df = _parsed(spark, sf_dir)
@@ -224,9 +223,18 @@ def q_sum_items_by_team(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_log_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """logdedup processor: collapse dup (role, level, tool) rows."""
+    """logdedup processor, BOTH config shapes in one board row (round-4
+    slot merge): collapse dup (role, level, tool) rows, and the
+    exclude_fields variant (processor/logdedupprocessor) where the
+    excluded key must not split groups. Variant-tagged union."""
     df = _parsed(spark, sf_dir)
-    return processors.log_dedup(df, ["role", "level", "tool"], ts_col="ts")
+    full = processors.log_dedup(df, ["role", "level", "tool"], ts_col="ts")
+    excl = processors.log_dedup(
+        df, ["role", "level", "tool"], ts_col="ts", exclude=["tool"]
+    ).withColumn("tool", F.lit(None).cast("string"))
+    return full.withColumn("variant", F.lit("full")).unionByName(
+        excl.withColumn("variant", F.lit("exclude_tool"))
+    )
 
 
 def q_filter_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,15 +542,6 @@ def q_resource_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("conv_id", "turn_idx", "os_type", "cloud_provider", "host_name")
 
 
-def q_log_dedup_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """logdedup with exclude_fields (processor/logdedupprocessor): excluded
-    key doesn't split groups."""
-    df = _parsed(spark, sf_dir)
-    return processors.log_dedup(
-        df, ["role", "level", "tool"], ts_col="ts", exclude=["tool"]
-    )
-
-
 def q_conv_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn text equality under stable turn ordering (north_rule
     invariant): order-insensitive-to-shuffle per-conv digest, in BOTH
@@ -733,6 +732,139 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = mm.attach_fake_payload(docsrc.documents_df(spark, sf_dir))
     feats = mm.decode_features(docs, impl="fake")
     return feats.select("doc_id", "kind", "n_bytes", "frame_count")
+
+
+SAMPLE_K, SAMPLE_FRAC, PACK_BUDGET, PACK_SHARDS = 30, 0.2, 64, 8
+
+
+def q_sample_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling + global shuffle (functions/sampling.py),
+    oracle-checked via invariants: the hash-ordered selections cannot be
+    replayed in SQL (DuckDB has no xxhash64), but per-stratum exact
+    counts, membership ⊂ input, seed-stability (same seed → same rows),
+    and shuffle order-stability (output order == seeded hash order) are
+    all exactly predictable. Epoch-scale ops a training pipeline runs
+    every run; deterministic under task retries by construction."""
+    from opentelemetry_collector_contrib_spark.functions import sampling as sp
+
+    docs = docsrc.documents_df(spark, sf_dir).select("doc_id", "lang")
+    base = docs.groupBy("lang").agg(F.count("*").alias("_n"))
+
+    def _per_lang(sample: DataFrame, tag: str) -> DataFrame:
+        return sample.groupBy("lang").agg(F.count("*").alias(f"n_{tag}"))
+
+    # stratified exact-k: twice with the same seed (stability) + member
+    ex1 = sp.stratified_sample(docs, "lang", k=SAMPLE_K, key="doc_id", seed=7)
+    ex2 = sp.stratified_sample(docs, "lang", k=SAMPLE_K, key="doc_id", seed=7)
+    ex_stable = _per_lang(
+        ex1.join(ex2, ["doc_id", "lang"]), "ex_stable"
+    )
+    ex_member = _per_lang(ex1.join(docs, ["doc_id", "lang"]), "ex_member")
+    # stratified fractions: zero-shuffle hash-threshold filter
+    fr1 = sp.stratified_sample(
+        docs, "lang", fractions={
+            r["lang"]: SAMPLE_FRAC for r in base.select("lang").collect()
+        }, key="doc_id", seed=11,
+    )
+    fr2 = sp.stratified_sample(
+        docs, "lang", fractions={
+            r["lang"]: SAMPLE_FRAC for r in base.select("lang").collect()
+        }, key="doc_id", seed=11,
+    )
+    fr_n = _per_lang(fr1, "fr")
+    fr_stable = _per_lang(fr1.join(fr2, ["doc_id", "lang"]), "fr_stable")
+    # global exact-k: membership + stability booleans folded per lang
+    g1 = sp.exact_sample(docs, 100, key="doc_id", seed=13)
+    g2 = sp.exact_sample(docs, 100, key="doc_id", seed=13)
+    g_n = _per_lang(g1, "g")
+    g_stable = _per_lang(g1.join(g2, ["doc_id", "lang"]), "g_stable")
+    # global shuffle: output order must BE the seeded hash order —
+    # ranks by physical output position (mono id follows the range
+    # partitioning + in-partition sort) equal ranks by hash
+    sh = sp.global_shuffle(docs, "doc_id", seed=17).withColumn(
+        "_pos", F.monotonically_increasing_id()
+    )
+    h = F.xxhash64(F.col("doc_id"), F.lit(17))
+    sh = sh.withColumn(
+        "_ok",
+        F.row_number().over(Window.orderBy("_pos"))
+        == F.row_number().over(Window.orderBy(h)),
+    )
+    sh_ok = sh.groupBy("lang").agg(
+        F.min(F.col("_ok").cast("int")).alias("_shuffle_min")
+    )
+    out = (
+        base.join(ex_stable, "lang").join(ex_member, "lang")
+        .join(fr_n, "lang").join(fr_stable, "lang")
+        .join(g_n, "lang").join(g_stable, "lang").join(sh_ok, "lang")
+    )
+    k = F.least(F.lit(SAMPLE_K), F.col("_n"))
+    return out.select(
+        "lang",
+        k.cast("long").alias("n_exact"),
+        (F.col("n_ex_member") == k).alias("exact_member"),
+        (F.col("n_ex_stable") == k).alias("exact_stable"),
+        # hash-threshold hit rate within a generous tolerance of the
+        # requested fraction (exact value is hash-dependent, bound isn't)
+        (
+            F.abs(F.col("n_fr") / F.col("_n") - F.lit(SAMPLE_FRAC)) < 0.1
+        ).alias("frac_tol_ok"),
+        (F.col("n_fr_stable") == F.col("n_fr")).alias("frac_stable"),
+        (F.col("n_g_stable") == F.col("n_g")).alias("gexact_stable"),
+        (F.col("_shuffle_min") == 1).alias("shuffle_ordered"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (functions/packing.py): greedy next-fit binning
+    into token budgets — the corpus→training-shards step. Oracle checks
+    the packing invariants that hold for ANY shard hash: every doc lands
+    in exactly one bin, token mass is conserved, no multi-doc bin
+    exceeds the budget, every over-budget doc sits alone in its own bin
+    (never dropped), and bin count ≥ the ceil(total/budget) lower
+    bound."""
+    from opentelemetry_collector_contrib_spark.functions.packing import (
+        pack_sequences,
+    )
+
+    docs = docsrc.documents_df(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    bins = pack_sequences(
+        docs, budget=PACK_BUDGET, num_shards=PACK_SHARDS, id_col="doc_id"
+    )
+    n_over_docs = docs.filter(F.col("n_tokens") > PACK_BUDGET).count()
+    agg = bins.agg(
+        F.sum("n_docs").alias("n_docs_packed"),
+        F.sum(F.size(F.array_distinct("doc_ids"))).alias("n_docs_distinct"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.count(
+            F.when(
+                (F.col("n_docs") > 1) & (F.col("total_tokens") > PACK_BUDGET),
+                True,
+            )
+        ).alias("multi_over_budget"),
+        F.count(
+            F.when(
+                (F.col("n_docs") == 1) & (F.col("total_tokens") > PACK_BUDGET),
+                True,
+            )
+        ).alias("_single_over"),
+        F.count("*").alias("_n_bins"),
+    )
+    return agg.select(
+        "n_docs_packed",
+        "n_docs_distinct",
+        "total_tokens",
+        "multi_over_budget",
+        (F.col("_single_over") == F.lit(n_over_docs)).alias(
+            "oversized_alone_ok"
+        ),
+        (
+            F.col("_n_bins")
+            >= F.ceil(F.col("total_tokens") / F.lit(PACK_BUDGET))
+        ).alias("bins_lb_ok"),
+    )
 
 
 def q_trace_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1014,7 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_rows": q_routed_rows,
         "count_multi_metric": q_count_multi_metric,
         "groupbyattrs": q_groupbyattrs,
-        "errors_per_team": q_errors_per_team,
+        "sample_invariants": q_sample_invariants,
         "sum_items_by_team": q_sum_items_by_team,
         "log_dedup": q_log_dedup,
         "filter_transformer": q_filter_transformer,
@@ -1028,7 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_retain": q_flatten_retain,
         "assign_keys": q_assign_keys,
         "resource_detection": q_resource_detection,
-        "log_dedup_exclude": q_log_dedup_exclude,
+        "pack_sequences": q_pack_sequences,
         "syslog_rfc5424": q_syslog_rfc5424,
         "container_parse": q_container_parse,
         "container_recombine": q_container_recombine,
@@ -1258,27 +1390,39 @@ def oracle_sql() -> dict[str, str]:
         "SELECT sink, count(*) AS n FROM routed GROUP BY sink ORDER BY sink",
         "routed_rows": f"{_TD}, {_PARSED_CTE}, {_ENRICHED_CTE}, {_TAGGED_CTE}, {_ROUTED_CTE} "
         "SELECT sink, conv_id, turn_idx, text FROM routed",
-        "count_multi_metric": f"{_T} "
+        "count_multi_metric": f"{_TD}, {_PARSED_CTE}, "
+        "ec AS (SELECT p.*, cd.team FROM parsed p "
+        "LEFT JOIN conv_dim cd ON p.conv_id = cd.conv_id) "
         "SELECT 'turns.by_tool_role' AS metric, tool, role, "
-        "cast(count(*) AS bigint) AS n FROM transcripts "
+        "cast(NULL AS string) AS team, "
+        "cast(count(*) AS bigint) AS n FROM ec "
         "WHERE tool IS NOT NULL AND tool <> '' GROUP BY tool, role "
         "UNION ALL "
         "SELECT 'turns.by_tool_role_default', "
         "CASE WHEN tool IS NULL OR tool = '' THEN 'none' ELSE tool END, "
-        "role, cast(count(*) AS bigint) FROM transcripts GROUP BY 2, 3 "
+        "role, cast(NULL AS string), cast(count(*) AS bigint) "
+        "FROM ec GROUP BY 2, 3 "
         "UNION ALL "
-        "SELECT 'assistant.turns', NULL, role, cast(count(*) AS bigint) "
-        "FROM transcripts WHERE role = 'assistant' "
-        "AND role IS NOT NULL AND role <> '' GROUP BY role",
+        "SELECT 'assistant.turns', NULL, role, cast(NULL AS string), "
+        "cast(count(*) AS bigint) "
+        "FROM ec WHERE role = 'assistant' "
+        "AND role IS NOT NULL AND role <> '' GROUP BY role "
+        "UNION ALL "
+        "SELECT 'errors.per_team', NULL, NULL, team, "
+        "cast(count(*) AS bigint) FROM ec "
+        "WHERE level = 'ERROR' AND team IS NOT NULL AND team <> '' "
+        "GROUP BY team",
         "groupbyattrs": f"{_T}, {_PARSED_CTE} "
         "SELECT conv_id, turn_idx, tool, "
         "cast(count(*) OVER (PARTITION BY tool) AS bigint) AS group_size, "
         "text FROM parsed",
-        "errors_per_team": f"{_TD}, {_PARSED_CTE} "
-        "SELECT cd.team, count(*) AS n FROM parsed p "
-        "JOIN conv_dim cd ON p.conv_id = cd.conv_id "
-        "WHERE p.level = 'ERROR' AND cd.team IS NOT NULL AND cd.team <> '' "
-        "GROUP BY cd.team",
+        "sample_invariants": (
+            f"SELECT lang, cast(least({SAMPLE_K}, count(*)) AS bigint) "
+            "AS n_exact, TRUE AS exact_member, TRUE AS exact_stable, "
+            "TRUE AS frac_tol_ok, TRUE AS frac_stable, "
+            "TRUE AS gexact_stable, TRUE AS shuffle_ordered "
+            "FROM documents GROUP BY lang"
+        ),
         "sum_items_by_team": f"{_TD}, {_PARSED_CTE} "
         "SELECT cd.team, cast(sum(cast(regexp_extract(p.msg, 'items=(-?[0-9]+)', 1) "
         "AS bigint)) AS bigint) "
@@ -1287,8 +1431,11 @@ def oracle_sql() -> dict[str, str]:
         "WHERE p.parse_ok AND cd.team IS NOT NULL AND cd.team <> '' GROUP BY cd.team",
         "log_dedup": f"{_T}, {_PARSED_CTE} "
         "SELECT role, level, tool, count(*) AS log_count, "
-        "min(ts) AS first_observed_ts, max(ts) AS last_observed_ts "
-        "FROM parsed GROUP BY role, level, tool",
+        "min(ts) AS first_observed_ts, max(ts) AS last_observed_ts, "
+        "'full' AS variant FROM parsed GROUP BY role, level, tool "
+        "UNION ALL "
+        "SELECT role, level, cast(NULL AS string), count(*), min(ts), "
+        "max(ts), 'exclude_tool' FROM parsed GROUP BY role, level",
         "filter_transformer": f"{_T} "
         "SELECT conv_id, turn_idx, role FROM transcripts WHERE NOT (role = 'system')",
         "recombine": f"{_T} "
@@ -1322,10 +1469,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, turn_idx, 'linux' AS os_type, 'none' AS cloud_provider, "
         "CASE WHEN role = 'system' THEN 'pinned-host' ELSE 'spark-node' END "
         "AS host_name FROM transcripts",
-        "log_dedup_exclude": f"{_T}, {_PARSED_CTE} "
-        "SELECT role, level, count(*) AS log_count, "
-        "min(ts) AS first_observed_ts, max(ts) AS last_observed_ts "
-        "FROM parsed GROUP BY role, level",
+        "pack_sequences": (
+            "SELECT cast(count(*) AS bigint) AS n_docs_packed, "
+            "cast(count(DISTINCT doc_id) AS bigint) AS n_docs_distinct, "
+            "cast(sum(len(string_split(text, ' '))) AS bigint) "
+            "AS total_tokens, "
+            "cast(0 AS bigint) AS multi_over_budget, "
+            "TRUE AS oversized_alone_ok, TRUE AS bins_lb_ok "
+            "FROM documents"
+        ),
         "syslog_rfc5424": f"{_T}, "
         f"lines AS (SELECT conv_id, turn_idx, {_SYSLOG_LINE} AS text FROM transcripts) "
         f"SELECT conv_id, turn_idx, regexp_matches(text, '{_RFC5424_SQL}') AS parse_ok, "

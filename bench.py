@@ -52,6 +52,7 @@ HEADLINE = [
     "conv_text_digest",
     "ottl_transform",
     "dedup_minhash_lsh",
+    "pack_sequences",
     "dedup_embedding_pairs",
     "ann_cosine_topk",
     "text_stats",
