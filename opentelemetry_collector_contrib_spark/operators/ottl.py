@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 from .parsers import strptime_to_java
+from .useragent import user_agent_map
 from .udf_converters import (
     convert_attributes_to_elements_xml_udf,
     convert_text_to_elements_xml_udf,
@@ -549,31 +550,10 @@ CONVERTERS: dict[str, callable] = {
         F.lit("url.path"), F.parse_url(x, F.lit("PATH")),
         F.lit("url.query"), F.parse_url(x, F.lit("QUERY")),
     ),
-    # UserAgent converter — regex heuristic standing in for the
-    # reference's ua-parser dependency (documented approximation)
-    # regexp_extract returns '' (not null) on no match, so the 'Other'
-    # fallback needs a nullif('') bridge — ua-parser returns 'Other' for
-    # unknown agents and so do we
-    "UserAgent": lambda x: F.create_map(
-        F.lit("user_agent.name"),
-        F.coalesce(
-            F.nullif(
-                F.regexp_extract(x, r"(Firefox|Chrome|Safari|curl|wget)", 1),
-                F.lit(""),
-            ),
-            F.lit("Other"),
-        ),
-        F.lit("user_agent.version"),
-        F.regexp_extract(x, r"(?:Firefox|Chrome|curl|wget)[/ ]([\d.]+)", 1),
-        F.lit("os.name"),
-        F.coalesce(
-            F.nullif(
-                F.regexp_extract(x, r"(Windows|Mac OS X|Android|iPhone OS|Linux)", 1),
-                F.lit(""),
-            ),
-            F.lit("Other"),
-        ),
-    ),
+    # UserAgent converter (func_useragent.go): vendored uap-core-style
+    # ordered pattern table, pure JVM CASE chain; the reference's exact
+    # three semconv keys incl. user_agent.original (operators/useragent.py)
+    "UserAgent": lambda x: user_agent_map(x),
     # hash / id
     "MD5": lambda x: F.md5(x.cast("string")),
     "SHA1": lambda x: F.sha1(x.cast("string")),

@@ -196,8 +196,11 @@ def test_url_and_useragent_converters(spark):
     r = out.collect()[0]
     assert r["up"]["url.scheme"] == "https" and r["up"]["url.domain"] == "ex.com"
     assert r["up"]["url.path"] == "/a/b" and r["up"]["url.query"] == "k=v"
-    assert r["uap"]["user_agent.name"] in ("Chrome", "Safari")
-    assert r["uap"]["os.name"] == "Windows"
+    assert r["uap"]["user_agent.name"] == "Chrome"
+    assert r["uap"]["user_agent.version"] == "120.0.0"
+    assert r["uap"]["user_agent.original"] == (
+        "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -401,9 +404,101 @@ def test_parse_simplified_xml_nested(spark):
 
 
 def test_useragent_unknown_yields_other(spark):
-    d = spark.createDataFrame([("SomeUnknownBot/9.9",)], ["ua"])
+    d = spark.createDataFrame([("SomeUnknownBot9.9 (x)",)], ["ua"])
     out = ottl.apply_statements(d, ["set(m, UserAgent(ua))"]).collect()[0]["m"]
-    assert out["user_agent.name"] == "Other" and out["os.name"] == "Other"
+    assert out["user_agent.name"] == "Other"
+    assert out["user_agent.version"] == ""
+
+
+# the reference's own test fixtures (func_useragent_test.go) — the
+# vendored uap-core pattern subset must agree with uap-go on all of them
+_UA_FIXTURES = [
+    (
+        "Mozilla/5.0 (X11; Linux x86_64; rv:126.0) Gecko/20100101 "
+        "Firefox/126.0",
+        "Firefox",
+        "126.0",
+    ),
+    (
+        "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/51.0.2704.103 Safari/537.36",
+        "Chrome",
+        "51.0.2704",
+    ),
+    (
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 13_5_1 like Mac OS X) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/13.1.1 "
+        "Mobile/15E148 Safari/604.1",
+        "Mobile Safari",
+        "13.1.1",
+    ),
+    (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/91.0.4472.124 Safari/537.36 "
+        "Edg/91.0.864.59",
+        "Edge",
+        "91.0.864",
+    ),
+    (
+        "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/51.0.2704.106 Safari/537.36 "
+        "OPR/38.0.2220.41",
+        "Opera",
+        "38.0.2220",
+    ),
+    ("curl/7.81.0", "curl", "7.81.0"),
+    ("foobar/1.2.3 (foo; bar baz)", "Other", ""),
+    (
+        "OpenTelemetry Collector Contrib/0.106.1 (linux/amd64)",
+        "Other",
+        "",
+    ),
+]
+
+
+def test_useragent_reference_fixtures(spark):
+    d = spark.createDataFrame([(ua,) for ua, _, _ in _UA_FIXTURES], ["ua"])
+    rows = ottl.apply_statements(d, ["set(m, UserAgent(ua))"]).collect()
+    got = {r["ua"]: r["m"] for r in rows}
+    for ua, name, version in _UA_FIXTURES:
+        m = got[ua]
+        assert m["user_agent.name"] == name, (ua, m)
+        assert m["user_agent.version"] == version, (ua, m)
+        assert m["user_agent.original"] == ua
+
+
+def test_useragent_extended_families(spark):
+    from opentelemetry_collector_contrib_spark.operators.useragent import (
+        user_agent_map,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("Mozilla/5.0 (Linux; Android 13; SM-S901B) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 "
+         "Mobile Safari/537.36", "Samsung Internet", "23.0"),
+        ("Mozilla/5.0 (Linux; Android 10) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/114.0.5735.196 Mobile "
+         "Safari/537.36", "Chrome Mobile", "114.0.5735"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) "
+         "AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/114.0.5735.99 "
+         "Mobile/15E148 Safari/604.1", "Chrome Mobile iOS", "114.0.5735"),
+        ("Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko",
+         "IE", "11.0"),
+        ("Mozilla/4.0 (compatible; MSIE 8.0; Windows NT 6.1)", "IE", "8.0"),
+        ("python-requests/2.31.0", "Python Requests", "2.31.0"),
+        ("Go-http-client/2.0", "Go-http-client", "2.0"),
+        ("Mozilla/5.0 (compatible; Googlebot/2.1; "
+         "+http://www.google.com/bot.html)", "Googlebot", "2.1"),
+        ("Wget/1.21.2", "Wget", "1.21.2"),
+        ("okhttp/4.12.0", "okhttp", "4.12.0"),
+    ]
+    d = spark.createDataFrame([(ua,) for ua, _, _ in cases], ["ua"])
+    rows = d.select("ua", user_agent_map(F.col("ua")).alias("m")).collect()
+    got = {r["ua"]: r["m"] for r in rows}
+    for ua, name, version in cases:
+        assert got[ua]["user_agent.name"] == name, (ua, got[ua])
+        assert got[ua]["user_agent.version"] == version, (ua, got[ua])
 
 
 def test_replace_match_underscore_literal(spark):

@@ -341,9 +341,19 @@ def test_sink_catalog_iceberg_branch(spark, turns, tmp_path):
     installed Spark 4.x / Scala 2.13) on the driver classpath plus a
     catalog config such as
     ``spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog``
-    with ``type=hadoop`` and a ``warehouse`` path. No network here, so
-    the jar cannot be staged; when it is present the probe flips this
-    test on automatically — the branch is tested, not dead code.
+    with ``type=hadoop`` and a ``warehouse`` path. When the jar is
+    present the probe flips this test on automatically — the branch is
+    tested, not dead code.
+
+    Staging channels exhausted (verified 2026-08-17, round 4):
+      * DNS/network fully blocked (``repo1.maven.org`` unresolvable) —
+        no ``--packages``/ivy fetch possible;
+      * no local ivy/maven caches (``~/.ivy2``, ``~/.m2`` absent);
+      * filesystem sweep ``find / -name '*iceberg*'`` finds no jar;
+      * pyspark's bundled ``jars/`` (286 jars) has no iceberg/delta/hudi;
+      * pip index unreachable (``pip download pyiceberg`` → "no
+        versions") — and pyiceberg would not provide the Spark runtime
+        jar anyway.
     """
     from opentelemetry_collector_contrib_spark.sources import catalog as cat
 
