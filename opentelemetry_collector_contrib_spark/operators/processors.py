@@ -173,6 +173,86 @@ def enrich_lookup(
     return joined
 
 
+# gopsutil arch strings -> semconv host.arch values
+# (processor/resourcedetectionprocessor/internal/system/internal provider
+# maps uname machine to the OTel enum; same table here)
+_SEMCONV_ARCH = {
+    "x86_64": "amd64",
+    "amd64": "amd64",
+    "aarch64": "arm64",
+    "arm64": "arm64",
+    "i386": "x86",
+    "i686": "x86",
+    "armv7l": "arm32",
+    "armv6l": "arm32",
+    "ppc64": "ppc64",
+    "ppc64le": "ppc64le",
+    "s390x": "s390x",
+}
+
+
+def detect_system(
+    hostname_sources: tuple[str, ...] = ("dns", "os"),
+    with_host_id: bool = False,
+) -> dict[str, str]:
+    """The resourcedetection ``system`` detector
+    (processor/resourcedetectionprocessor/internal/system/system.go:83-160):
+    probe the environment ONCE at startup on the driver and return the
+    semconv resource attributes to stamp.  Sources are tried in order
+    exactly like the reference's ``hostname_sources`` cascade ("dns"
+    resolves the FQDN, "os" takes the kernel hostname); ``os.type`` uses
+    the conventions enum (linux/windows/darwin), ``host.arch`` the
+    semconv arch table, ``os.description`` a human-readable platform
+    string.  ``host.id`` (opt-in, like the reference's disabled-by-
+    default resource_attributes.host.id) reads /etc/machine-id on Linux.
+
+    Feed the result to :func:`resource_detect`, which applies the
+    processor's default override=false (insert-if-absent) semantics.
+    """
+    import platform
+    import socket
+
+    attrs: dict[str, str] = {}
+    hostname = None
+    for source in hostname_sources:
+        if source == "dns":
+            fqdn = socket.getfqdn()
+            # getfqdn falls back to the bare hostname; the reference's
+            # dns source fails over to "os" when lookup adds nothing
+            if fqdn and "." in fqdn:
+                hostname = fqdn
+                break
+        elif source == "os":
+            name = socket.gethostname()
+            if name:
+                hostname = name
+                break
+        elif source == "lookup":  # reference: reverse-lookup of host IP
+            try:
+                hostname = socket.gethostbyaddr(socket.gethostname())[0]
+                break
+            except OSError:
+                continue
+    if hostname:
+        attrs["host.name"] = hostname
+    system = platform.system().lower()  # Linux -> linux, like goruntime
+    if system:
+        attrs["os.type"] = system
+    machine = platform.machine().lower()
+    if machine:
+        attrs["host.arch"] = _SEMCONV_ARCH.get(machine, machine)
+    desc = platform.platform()
+    if desc:
+        attrs["os.description"] = desc
+    if with_host_id:
+        try:
+            with open("/etc/machine-id", encoding="ascii") as f:
+                attrs["host.id"] = f.read().strip()
+        except OSError:
+            pass  # reference logs a warning and omits the attr
+    return attrs
+
+
 def resource_detect(df: DataFrame, detectors: dict[str, str]) -> DataFrame:
     """resourcedetectionprocessor (processor/resourcedetectionprocessor/):
     environment metadata detected ONCE at startup and stamped onto every
@@ -182,7 +262,10 @@ def resource_detect(df: DataFrame, detectors: dict[str, str]) -> DataFrame:
     out = df
     for k, v in detectors.items():
         if k in out.columns:
-            out = out.withColumn(k, F.coalesce(F.col(k), F.lit(v)))
+            # semconv names are dotted (host.name) — backtick-quote so
+            # F.col doesn't parse a struct path
+            ref = F.col(f"`{k}`")
+            out = out.withColumn(k, F.coalesce(ref, F.lit(v)))
         else:
             out = out.withColumn(k, F.lit(v))
     return out

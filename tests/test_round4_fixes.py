@@ -178,3 +178,39 @@ def test_stdout_export_default_cap(spark, capsys):
     n_all = connectors.stdout_export(df, limit=None)
     assert n_all == 250
     capsys.readouterr()
+
+
+def test_detect_system_probe(spark):
+    """resourcedetection `system` detector: a real driver-side probe
+    (hostname cascade, os.type enum, semconv host.arch, os.description)
+    whose output lands with insert-if-absent semantics."""
+    from opentelemetry_collector_contrib_spark.operators import processors
+
+    attrs = processors.detect_system(with_host_id=True)
+    # this sandbox is linux; the probe must find real values
+    assert attrs["os.type"] == "linux"
+    assert attrs["host.arch"] in (
+        "amd64", "arm64", "x86", "arm32", "ppc64", "ppc64le", "s390x"
+    )
+    assert attrs["host.name"]  # dns -> os cascade always lands one
+    assert "linux" in attrs["os.description"].lower()
+
+    df = spark.createDataFrame(
+        [("a", "pinned"), ("b", None)], ["id", "host.name"]
+    )
+    out = processors.resource_detect(df, attrs)
+    rows = {r["id"]: r for r in out.collect()}
+    # override=false: existing non-null value wins, nulls are filled
+    assert rows["a"]["host.name"] == "pinned"
+    assert rows["b"]["host.name"] == attrs["host.name"]
+    assert rows["a"]["os.type"] == "linux"
+
+
+def test_detect_system_source_order(spark):
+    """hostname_sources cascade: 'os' alone must take the kernel name."""
+    import socket
+
+    from opentelemetry_collector_contrib_spark.operators import processors
+
+    attrs = processors.detect_system(hostname_sources=("os",))
+    assert attrs["host.name"] == socket.gethostname()
