@@ -49,12 +49,80 @@ def global_shuffle(
     return out.sortWithinPartitions(h)
 
 
-def exact_sample(df: DataFrame, k: int, key: str, *, seed: int = 0) -> DataFrame:
+def exact_sample(
+    df: DataFrame,
+    k: int,
+    key: str,
+    *,
+    seed: int = 0,
+    large_k: bool = False,
+    est_total: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Exact-k uniform-without-replacement sample = first k rows of the
-    seeded hash order. Compiles to TakeOrderedAndProject: partition-local
-    top-k, then a bounded merge — never a full sort of the corpus."""
+    seeded hash order.
+
+    Default path compiles to TakeOrderedAndProject: partition-local
+    top-k, then a driver heap merge of ≤ k·partitions rows — right for
+    sampling-sized k, wrong for epoch-scale k (tens of millions), where
+    the driver merge alone would hold k·partitions rows.
+
+    ``large_k=True`` is the scale path and never funnels more than one
+    row per *partition* through the driver:
+
+      1. hash-threshold pre-filter: keep rows whose hash-uniform value
+         is below p = (k + 6·√k + 16)/N — a NARROW filter that passes
+         ~k(1+ε) rows and, by a Chernoff bound, keeps ≥ k of the true
+         top-k with overwhelming probability;
+      2. range-partition the ~k survivors by hash (the only shuffle,
+         sized by the sample not the corpus);
+      3. exact trim to rank ≤ k via per-partition offsets (the
+         zipWithIndex construction): per-partition counts (≤ P rows on
+         the driver) + row_number within each range partition.
+
+    ``est_total`` skips the initial count when the caller already knows
+    N (e.g. from lineage).  If the pre-filter ever yields fewer than k
+    survivors (p margin missed — astronomically unlikely), falls back
+    to the exact top-k path for correctness.
+    """
     h = _hash_order(F.col(key), seed)
-    return df.orderBy(h).limit(k)
+    if not large_k:
+        return df.orderBy(h).limit(k)
+
+    import math
+
+    n = est_total if est_total is not None else df.count()
+    if k >= n:
+        return df
+    p = min(1.0, (k + 6.0 * math.sqrt(k) + 16.0) / n)
+    u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    surv = df.filter(u < F.lit(p))
+    num_p = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    # persist so the counts job and the rank job see the same layout
+    ranged = (
+        surv.repartitionByRange(int(num_p), h, F.col(key))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["count"] for r in ranged.groupBy("_pid").count().collect()}
+    if sum(counts.values()) < k:
+        ranged.unpersist()
+        return df.orderBy(h).limit(k)
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy(h, F.col(key))
+    return (
+        ranged.withColumn("_rank", off_map[F.col("_pid")] + F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_pid", "_rank")
+    )
 
 
 def stratified_sample(

@@ -189,6 +189,8 @@ def write_routed(
     salt_col: str = "conv_id",
     compression: str | None = None,
     max_records_per_file: int | None = None,
+    max_megabytes: int | None = None,
+    max_backups: int | None = None,
 ) -> dict[str, str]:
     """Exporter stage: one partitioned write fans rows out to per-sink
     tables (fileexporter group_by semantics,
@@ -216,14 +218,58 @@ def write_routed(
         # fileexporter compression passthrough (exporter/fileexporter/
         # config.go:22-52): codec applies per output file
         writer = writer.option("compression", compression)
+    if max_megabytes is not None and max_records_per_file is None:
+        # rotation.max_megabytes (exporter/fileexporter/config.go:60-62):
+        # lumberjack rotates by file size. Spark's knob is records per
+        # file, so translate: average serialized row size from a bounded
+        # sample (JSON length — exact for fmt=json, a conservative
+        # overestimate for columnar parquet) -> records that fit the cap
+        cols = [c for c in routed.columns]
+        avg_row = (
+            routed.limit(1024)
+            .select(
+                F.avg(F.length(F.to_json(F.struct(*cols)))).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        if avg_row:
+            max_records_per_file = max(
+                1, int(max_megabytes * (1 << 20) // max(avg_row, 1.0))
+            )
     if max_records_per_file is not None:
         # rotation analog (fileexporter rotation.max_megabytes/backups,
-        # config.go:31-43): bound each output file; Spark rolls to a new
+        # config.go:58-79): bound each output file; Spark rolls to a new
         # file within the same task once the cap is hit
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.save(path)
     sinks = sorted({s for v in sink_map.values() for s in v})
-    return {s: f"{path}/sink={s}" for s in sinks}
+    paths = {s: f"{path}/sink={s}" for s in sinks}
+    if max_backups is not None:
+        _prune_backups(tagged.sparkSession, paths.values(), max_backups)
+    return paths
+
+
+def _prune_backups(spark, sink_paths, max_backups: int) -> None:
+    """rotation.max_backups (exporter/fileexporter/config.go:71-73):
+    lumberjack retains at most N rotated files and DELETES older ones —
+    bounded retention with data loss by design. Analog: keep the N
+    newest part-files per sink directory, via the Hadoop FileSystem API
+    so it works on any cluster filesystem, not just local disk."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for sp in sink_paths:
+        p = jvm.org.apache.hadoop.fs.Path(sp)
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            continue
+        parts = [
+            st
+            for st in fs.listStatus(p)
+            if st.getPath().getName().startswith("part-")
+        ]
+        parts.sort(key=lambda st: st.getModificationTime(), reverse=True)
+        for st in parts[max_backups:]:
+            fs.delete(st.getPath(), False)
 
 
 def count_connector(

@@ -119,6 +119,28 @@ def _read_lines(
         # One row per file pre-explode: sized for rotated log files, the
         # same unit the reference's one-reader-per-file model assumes.
         raw = spark.read.format("binaryFile").load(paths)
+        # whole-file decode means one file = one executor row: a multi-GB
+        # UTF-16 file would OOM an executor silently. Fail loudly instead
+        # (the filelog model reads rotated-log-sized files; repack bigger
+        # inputs or transcode to UTF-8 upstream).
+        budget = int(
+            spark.conf.get("spark.graft.charset.maxFileBytes", str(256 << 20))
+        )
+        too_big = [
+            (r["path"], r["length"])
+            for r in raw.select("path", "length")
+            .filter(F.col("length") > budget)
+            .collect()
+        ]
+        if too_big:
+            worst = ", ".join(f"{p} ({n >> 20} MiB)" for p, n in too_big[:3])
+            raise ValueError(
+                f"{len(too_big)} {encoding} file(s) exceed the whole-file "
+                f"decode budget of {budget >> 20} MiB (e.g. {worst}). "
+                "Multi-byte charsets decode one file per executor row; "
+                "raise spark.graft.charset.maxFileBytes only if executors "
+                "have the memory, or transcode to UTF-8."
+            )
         txt = F.decode(F.col("content"), encoding)
         lines = F.split(F.regexp_replace(txt, "\r?\n$", ""), "\r?\n")
         return raw.select(

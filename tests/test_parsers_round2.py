@@ -558,3 +558,22 @@ def test_read_text_logs_utf16(spark, tmp_path):
         spark, str(p), encoding="UTF-16", start_at="end", snapshot=snap
     )
     assert [r["text"] for r in out2.collect()] == ["drittë"]
+
+
+def test_charset_whole_file_size_guard(spark, tmp_path):
+    """Multi-byte charsets decode one file per executor row; oversized
+    files must fail loudly with the rationale instead of OOMing."""
+    from opentelemetry_collector_contrib_spark.sources import textlogs
+
+    p = tmp_path / "big.log"
+    p.write_bytes(("x" * 4096 + "\n").encode("utf-16"))
+    spark.conf.set("spark.graft.charset.maxFileBytes", "1024")
+    try:
+        with pytest.raises(ValueError, match="whole-file decode budget"):
+            textlogs.read_text_logs(spark, str(p), encoding="utf-16")
+        # under budget: reads fine
+        spark.conf.set("spark.graft.charset.maxFileBytes", str(1 << 20))
+        out = textlogs.read_text_logs(spark, str(p), encoding="utf-16")
+        assert out.count() == 1
+    finally:
+        spark.conf.unset("spark.graft.charset.maxFileBytes")

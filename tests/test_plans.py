@@ -626,3 +626,32 @@ def test_spark_submit_py_files_entrypoint(tmp_path):
         "audit": 147, "catchall": 246, "errors": 147,
         "incident": 565, "risky_tools": 42,
     }
+
+
+def test_write_routed_max_megabytes_and_backups(spark, turns, tmp_path):
+    """rotation.max_megabytes translates a byte cap into a records-per-
+    file bound via sampled row size; rotation.max_backups prunes to the
+    N newest part files per sink (lumberjack's bounded retention)."""
+    import glob
+    import os
+
+    tagged = turns.withColumn("_route", F.lit("all"))
+    paths = connectors.write_routed(
+        tagged, {"all": ["only"]}, str(tmp_path / "mb"),
+        max_megabytes=1, files_per_sink=2,
+    )
+    files = glob.glob(paths["only"] + "/*.parquet")
+    assert files
+    total = sum(spark.read.parquet(f).count() for f in files)
+    assert total == turns.count()
+    for f in files:
+        # JSON-length estimate is a parquet overestimate -> files must
+        # come in under the byte cap
+        assert os.path.getsize(f) <= 1 << 20
+
+    paths2 = connectors.write_routed(
+        tagged, {"all": ["only"]}, str(tmp_path / "bk"),
+        files_per_sink=4, max_backups=2,
+    )
+    kept = glob.glob(paths2["only"] + "/part-*")
+    assert len(kept) == 2  # pruned from 4; retention bound, by design

@@ -102,3 +102,38 @@ def test_pack_sequences_invariants(docs):
         avg_fill = sum(r["total_tokens"] for r in multi) / (budget * len(multi))
         assert avg_fill > 0.5
     bins.unpersist()
+
+
+def test_exact_sample_large_k_matches_small_k(docs):
+    """The scale path (hash pre-filter + range-partitioned exact trim)
+    must select the identical sample as the TakeOrdered path, and its
+    plan must contain no TakeOrderedAndProject (the k·partitions driver
+    merge it exists to avoid)."""
+    small = {r["doc_id"] for r in sampling.exact_sample(docs, 120, "doc_id", seed=5).collect()}
+    big_df = sampling.exact_sample(
+        docs, 120, "doc_id", seed=5, large_k=True, num_partitions=8
+    )
+    big = {r["doc_id"] for r in big_df.collect()}
+    assert big == small
+    plan = big_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    # deterministic across replans
+    again = {
+        r["doc_id"]
+        for r in sampling.exact_sample(
+            docs, 120, "doc_id", seed=5, large_k=True, num_partitions=8
+        ).collect()
+    }
+    assert again == big
+
+
+def test_exact_sample_large_k_edge_cases(docs):
+    n = docs.count()
+    # k >= N returns everything
+    allr = sampling.exact_sample(docs, n + 10, "doc_id", large_k=True, est_total=n)
+    assert allr.count() == n
+    # est_total skips the count job but still yields exact k
+    got = sampling.exact_sample(
+        docs, 50, "doc_id", seed=9, large_k=True, est_total=n, num_partitions=4
+    )
+    assert got.count() == 50
