@@ -253,6 +253,48 @@ def detect_system(
     return attrs
 
 
+def detect_env() -> dict[str, str]:
+    """The resourcedetection ``env`` detector
+    (processor/resourcedetectionprocessor/internal/env/env.go): parse
+    ``OTEL_RESOURCE_ATTRIBUTES`` as comma-separated ``key=value`` pairs
+    (W3C Baggage-style, values URL-decoded)."""
+    import os
+    import urllib.parse
+
+    raw = os.environ.get("OTEL_RESOURCE_ATTRIBUTES", "")
+    attrs: dict[str, str] = {}
+    for pair in raw.split(","):
+        pair = pair.strip()
+        if not pair or "=" not in pair:
+            continue
+        k, v = pair.split("=", 1)
+        attrs[k.strip()] = urllib.parse.unquote(v.strip())
+    return attrs
+
+
+#: named detectors, reference registry
+#: (processor/resourcedetectionprocessor/factory.go detector list; the
+#: cloud-provider detectors are meaningless off-cloud and out of scope)
+DETECTORS = {"system": detect_system, "env": detect_env}
+
+
+def resolve_detectors(names: list[str]) -> dict[str, str]:
+    """Run named detectors in order; FIRST detector to set a key wins,
+    matching the reference's merge (internal/resourcedetection.go:
+    earlier detectors take precedence, later only fill absents)."""
+    out: dict[str, str] = {}
+    for name in names:
+        try:
+            probe = DETECTORS[name]
+        except KeyError:
+            raise ValueError(
+                f"unknown detector {name!r}; have {sorted(DETECTORS)}"
+            ) from None
+        for k, v in probe().items():
+            out.setdefault(k, v)
+    return out
+
+
 def resource_detect(df: DataFrame, detectors: dict[str, str]) -> DataFrame:
     """resourcedetectionprocessor (processor/resourcedetectionprocessor/):
     environment metadata detected ONCE at startup and stamped onto every

@@ -218,7 +218,14 @@ def _stage_redact(df, spark, sf_dir, cfg):
 
 
 def _stage_resource_detect(df, spark, sf_dir, cfg):
-    return processors.resource_detect(df, cfg["detectors"])
+    # reference config shape: detectors is a LIST of detector names
+    # ([system, env]); a dict of literal attrs is the static form
+    dets = cfg["detectors"]
+    if isinstance(dets, list):
+        attrs = processors.resolve_detectors(dets)
+        attrs.update(cfg.get("attributes", {}))  # static overrides
+        return processors.resource_detect(df, attrs)
+    return processors.resource_detect(df, dets)
 
 
 STAGE_REGISTRY = {

@@ -214,3 +214,34 @@ def test_detect_system_source_order(spark):
 
     attrs = processors.detect_system(hostname_sources=("os",))
     assert attrs["host.name"] == socket.gethostname()
+
+
+def test_detect_env_and_config_list_form(spark, monkeypatch):
+    """env detector parses OTEL_RESOURCE_ATTRIBUTES (url-decoded values);
+    config `detectors: [system, env]` runs the cascade with earlier
+    detectors winning, like the reference merge."""
+    from opentelemetry_collector_contrib_spark.operators import processors
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline as cpl
+
+    monkeypatch.setenv(
+        "OTEL_RESOURCE_ATTRIBUTES",
+        "service.name=checkout,deployment.environment=prod%2Feu, os.type=zos",
+    )
+    env = processors.detect_env()
+    assert env["service.name"] == "checkout"
+    assert env["deployment.environment"] == "prod/eu"
+
+    merged = processors.resolve_detectors(["system", "env"])
+    # system ran first: its os.type beats env's zos
+    assert merged["os.type"] == "linux"
+    assert merged["service.name"] == "checkout"
+
+    with pytest.raises(ValueError, match="unknown detector"):
+        processors.resolve_detectors(["gcp"])
+
+    df = spark.createDataFrame([("a",)], ["id"])
+    out = cpl.STAGE_REGISTRY["resource_detect"](
+        df, spark, None, {"detectors": ["system", "env"]}
+    )
+    row = out.collect()[0]
+    assert row["service.name"] == "checkout" and row["os.type"] == "linux"
