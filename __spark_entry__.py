@@ -530,16 +530,28 @@ def q_assign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_resource_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """resourcedetectionprocessor: startup-detected metadata stamped as
-    literal columns; existing values win (override=false)."""
+    """resourcedetectionprocessor with the REAL `system` detector: the
+    environment is probed once on the driver (hostname cascade, os.type
+    enum, semconv arch) and stamped with override=false semantics; the
+    oracle interpolates the same probe, so the row verifies the actual
+    detected values, not config literals."""
+    det = processors.detect_system()
     turns = src.transcripts_df(spark, sf_dir)
     df = turns.withColumn(
         "host_name", F.when(F.col("role") == "system", F.lit("pinned-host"))
     )
     df = processors.resource_detect(
-        df, {"os_type": "linux", "cloud_provider": "none", "host_name": "spark-node"}
+        df,
+        {
+            "os_type": det["os.type"],
+            "cloud_provider": "none",
+            "host_name": det["host.name"],
+            "host_arch": det["host.arch"],
+        },
     )
-    return df.select("conv_id", "turn_idx", "os_type", "cloud_provider", "host_name")
+    return df.select(
+        "conv_id", "turn_idx", "os_type", "cloud_provider", "host_name", "host_arch"
+    )
 
 
 def q_conv_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
     parse_select = (
         "SELECT conv_id, turn_idx, parse_ok, ts_raw, level, component, msg FROM parsed"
     )
+    _DET = processors.detect_system()
     return {
         "parse_regex": f"{_T}, {_PARSED_CTE} {parse_select}",
         "parse_on_error_drop": f"{_T}, {_PARSED_CTE} "
@@ -1465,10 +1478,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, turn_idx, role, tool FROM transcripts",
         "assign_keys": f"{_T} "
         "SELECT conv_id, turn_idx, role AS v_role, tool AS v_tool FROM transcripts",
+        # the oracle runs the SAME driver-side probe (same host, same
+        # values) so the row checks the real detector output
         "resource_detection": f"{_T} "
-        "SELECT conv_id, turn_idx, 'linux' AS os_type, 'none' AS cloud_provider, "
-        "CASE WHEN role = 'system' THEN 'pinned-host' ELSE 'spark-node' END "
-        "AS host_name FROM transcripts",
+        f"SELECT conv_id, turn_idx, '{_DET['os.type']}' AS os_type, "
+        "'none' AS cloud_provider, "
+        "CASE WHEN role = 'system' THEN 'pinned-host' ELSE "
+        f"'{_DET['host.name']}' END AS host_name, "
+        f"'{_DET['host.arch']}' AS host_arch FROM transcripts",
         "pack_sequences": (
             "SELECT cast(count(*) AS bigint) AS n_docs_packed, "
             "cast(count(DISTINCT doc_id) AS bigint) AS n_docs_distinct, "

@@ -24,6 +24,7 @@ __all__ = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
+    "repetition_signals",
     "STOPWORDS",
 ]
 
@@ -171,3 +172,119 @@ def doc_fingerprint(
         )
         .drop("_fp_toks")
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021,
+    §A1.1 — the standard quality gate a training-data pipeline runs
+    before dedup):
+
+      * ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of lines
+        (and of line characters) occurring more than once in the doc;
+      * ``top{n}gram_char_frac`` for n in ``top_ns`` — characters
+        covered by the single most frequent word n-gram / total token
+        characters;
+      * ``dup{n}gram_char_frac`` for n in ``dup_ns`` — characters in
+        all occurrences of n-grams that appear more than once / total
+        token characters.
+
+    Scale shape: ONE explode per requested n plus line terms, unioned,
+    then two keyed aggregations — (doc, term) count with map-side
+    combine, then a per-doc rollup pivoted by conditional sums. The
+    grouping key is (doc, term), so hot docs spread across partitions;
+    nothing is collected per-doc, no windows over full docs, no Python.
+    Output: one row per input doc with the metric columns (docs with no
+    tokens get zeros).
+    """
+    t = F.col("_rs_toks")
+    # token-character total per doc (n-gram fractions use Gopher's
+    # character-weighted denominators)
+    base = df.select(
+        F.col(id_col),
+        tokens(col).alias("_rs_toks"),
+        F.split(F.col(col), "\n").alias("_rs_lines"),
+    )
+
+    terms = None
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        seq = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+        grams = F.when(
+            F.size(t) >= n,
+            F.transform(seq, lambda i: F.concat_ws(" ", F.slice(t, i, n))),
+        ).otherwise(F.array())
+        part = base.select(
+            F.col(id_col),
+            F.lit(n).alias("n"),
+            F.explode(grams).alias("term"),
+        )
+        terms = part if terms is None else terms.unionByName(part)
+    lines = base.select(
+        F.col(id_col),
+        F.lit(0).alias("n"),  # n=0 marks line terms
+        F.explode(F.filter(F.col("_rs_lines"), lambda l: F.trim(l) != "")).alias(
+            "term"
+        ),
+    )
+    terms = lines if terms is None else terms.unionByName(lines)
+
+    counted = terms.groupBy(id_col, "n", "term").agg(
+        F.count(F.lit(1)).alias("c"), F.length(F.first("term")).alias("len")
+    )
+    # per (doc, n) rollup: total chars, top-term coverage, dup coverage
+    per_n = counted.groupBy(id_col, "n").agg(
+        F.sum(F.col("c") * F.col("len")).alias("tot_chars"),
+        F.max(F.struct(F.col("c"), F.col("len"))).alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("len")).otherwise(0)).alias(
+            "dup_chars"
+        ),
+        F.sum(F.col("c")).alias("n_terms"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_terms"),
+    )
+    safe = F.greatest(F.col("tot_chars"), F.lit(1)).cast("double")
+    metrics = per_n.select(
+        F.col(id_col),
+        F.col("n"),
+        (F.col("top.c") * F.col("top.len") / safe).alias("top_frac"),
+        (F.col("dup_chars") / safe).alias("dup_frac"),
+        (F.col("dup_terms") / F.greatest(F.col("n_terms"), F.lit(1)).cast("double")).alias(
+            "dup_term_frac"
+        ),
+    )
+    agg_cols = []
+    for n in sorted(set(top_ns)):
+        agg_cols.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_frac"))), F.lit(0.0)
+            ).alias(f"top{n}gram_char_frac")
+        )
+    for n in sorted(set(dup_ns)):
+        agg_cols.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("dup_frac"))), F.lit(0.0)
+            ).alias(f"dup{n}gram_char_frac")
+        )
+    agg_cols.append(
+        F.coalesce(
+            F.max(F.when(F.col("n") == 0, F.col("dup_term_frac"))), F.lit(0.0)
+        ).alias("dup_line_frac")
+    )
+    agg_cols.append(
+        F.coalesce(
+            F.max(F.when(F.col("n") == 0, F.col("dup_frac"))), F.lit(0.0)
+        ).alias("dup_line_char_frac")
+    )
+    out = metrics.groupBy(id_col).agg(*agg_cols)
+    # left join back so token-less docs keep a row (all-zero metrics)
+    ids = df.select(id_col).distinct()
+    zero = [
+        F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+        for c in out.columns
+        if c != id_col
+    ]
+    return ids.join(out, on=id_col, how="left").select(F.col(id_col), *zero)

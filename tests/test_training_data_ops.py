@@ -184,3 +184,53 @@ def test_json_sink_write_readable(spark, sf_dir, tmp_path):
     total = sum(spark.read.json(p).count() for p in paths.values())
     routed = connectors.routed_union(res.tagged, res.sink_map)
     assert total == routed.count()
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition metrics against a hand-computed fixture."""
+    from opentelemetry_collector_contrib_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b\nx y z\nx y z"),
+            (2, "all unique words here today"),
+            (3, ""),  # token-less doc keeps a row, zero metrics
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.repetition_signals(
+            df, top_ns=(2,), dup_ns=(2,)
+        ).collect()
+    }
+    r1 = out[1]
+    # 2-grams (11 of them, all len 3): "a b"x3, "b a"x2, "b x"x1,
+    # "x y"x2, "y z"x2, "z x"x1 -> top 9/33, dup (3+2+2+2)*3/33
+    assert r1["top2gram_char_frac"] == pytest.approx(9 / 33)
+    assert r1["dup2gram_char_frac"] == pytest.approx(27 / 33)
+    # lines: ["a b a b a b", "x y z", "x y z"] -> 2 of 3 are dups
+    assert r1["dup_line_frac"] == pytest.approx(2 / 3)
+    assert r1["dup_line_char_frac"] == pytest.approx(10 / 21)
+    r2 = out[2]
+    assert r2["dup2gram_char_frac"] == 0.0
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["top2gram_char_frac"] > 0.0  # one of 4 distinct 2-grams
+    r3 = out[3]
+    assert r3["top2gram_char_frac"] == 0.0 and r3["dup_line_char_frac"] == 0.0
+
+
+def test_repetition_signals_on_documents(spark, sf_dir):
+    """Runs over the documents table; every doc gets exactly one row and
+    fractions stay in [0, 1]."""
+    from opentelemetry_collector_contrib_spark.functions import text as tx
+    from opentelemetry_collector_contrib_spark.sources import documents as d
+
+    docs = d.documents_df(spark, sf_dir)
+    out = tx.repetition_signals(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    frac_cols = [c for c in out.columns if c != "doc_id"]
+    for r in rows:
+        for c in frac_cols:
+            assert 0.0 <= r[c] <= 1.0, (r["doc_id"], c, r[c])
