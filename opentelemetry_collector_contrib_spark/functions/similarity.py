@@ -20,6 +20,8 @@ DuckDB oracle (list_dot_product on DOUBLE[]) reproduces values to
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
@@ -27,6 +29,8 @@ __all__ = [
     "ann_bruteforce_topk",
     "lsh_bucket",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "train_ivf_centroids",
     "near_dup_pairs",
 ]
 
@@ -177,6 +181,128 @@ def ann_lsh_topk(
     ).withColumn("bucket", lsh_bucket("q_vec", planes=planes))
     scored = (
         bucketed.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("sim", cosine(vec_col, "q_vec"))
+        .select("q_id", id_col, "sim")
+    )
+    return _topk_per_query(scored, id_col=id_col, k=k)
+
+
+def _centroid_assign_udf(centroids, nprobe: int):
+    """Vectorized assignment: one numpy matmul per Arrow batch against
+    the (nlist, dim) centroid matrix, returning the ``nprobe`` nearest
+    list ids (by cosine, both sides L2-normalized). The matrix rides to
+    executors inside the closure — nlist*dim floats, broadcast-sized."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(list(vecs), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cmat.T  # (batch, nlist)
+        # argsort desc, stable -> deterministic tie-break on list id
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return assign
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 2,
+    seed: int = 0,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer, fully deterministic:
+
+      * seeds = the ``nlist`` vectors with the smallest seeded xxhash64
+        of their id (a deterministic uniform sample — no rand());
+      * ``iters`` Lloyd rounds: assignment is one Arrow-batched numpy
+        matmul per batch (no per-row Python), the mean-update is a JVM
+        groupBy with one avg per dimension (dim aggregates over nlist
+        groups — a tiny shuffle), collected as nlist×dim floats.
+
+    At corpus scale each round is one narrow pass + one nlist-keyed
+    aggregation; the driver only ever holds the centroid matrix.
+    """
+    sample = (
+        emb.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(nlist)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in sample]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assign = _centroid_assign_udf(centroids, nprobe=1)
+        assigned = emb.select(
+            F.element_at(assign(F.col(vec_col)), 1).alias("_list"),
+            F.col(vec_col),
+        )
+        means = (
+            assigned.groupBy("_list")
+            .agg(
+                *[
+                    F.avg(
+                        F.element_at(F.col(vec_col), i + 1).cast("double")
+                    ).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = list(centroids)  # empty lists keep their old centroid
+        for r in means:
+            new[r["_list"]] = [r[f"d{i}"] for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    seed: int = 0,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-flat approximate kNN — the inverted-file scale path beside
+    the LSH variant: corpus vectors are partitioned into ``nlist``
+    Voronoi cells of a trained coarse quantizer; each query probes its
+    ``nprobe`` nearest cells and ranks candidates by exact cosine.
+
+    Scale shape: candidate discovery is an equi-join on the int cell id
+    (shuffle ~ n·nprobe/nlist per query batch, never O(n·q)); raising
+    ``nprobe`` trades cost for recall, nprobe=nlist degenerates to
+    exact brute force. Pass precomputed ``centroids`` to skip training
+    (the index-build/read split a real pipeline uses)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            emb, id_col=id_col, vec_col=vec_col, nlist=nlist,
+            iters=iters, seed=seed,
+        )
+    assign1 = _centroid_assign_udf(centroids, nprobe=1)
+    assignp = _centroid_assign_udf(centroids, nprobe=nprobe)
+    indexed = emb.withColumn(
+        "_list", F.element_at(assign1(F.col(vec_col)), 1)
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("_list", F.explode(assignp(F.col("q_vec"))))
+    scored = (
+        indexed.join(F.broadcast(q), "_list")
         .filter(F.col(id_col) != F.col("q_id"))
         .withColumn("sim", cosine(vec_col, "q_vec"))
         .select("q_id", id_col, "sim")
