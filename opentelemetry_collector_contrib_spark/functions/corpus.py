@@ -37,12 +37,30 @@ def clean_corpus(
     shingle_w: int = 3,
     minhash_k: int = 12,
     lsh_bands: int = 4,
+    max_dup_line_frac: float | None = None,
+    max_top2gram_frac: float | None = None,
 ) -> DataFrame:
-    """Return the cleaned corpus (doc_id, lang, n_chars, quality)."""
+    """Return the cleaned corpus (doc_id, lang, n_chars, quality).
+
+    The two optional caps add the Gopher repetition gates
+    (:func:`..text.repetition_signals`) between the quality/language
+    gates and dedup — repetitive docs are cheaper to drop before they
+    feed shingling. Defaults off (repetition needs its own keyed
+    aggregation pass; the plain gates stay narrow)."""
     scored = tx.quality_score(tx.lang_id(docs))
     gated = scored.filter(
         (F.col("quality") >= min_quality) & (F.col("pred_lang") == keep_lang)
     )
+    if max_dup_line_frac is not None or max_top2gram_frac is not None:
+        reps = tx.repetition_signals(gated, top_ns=(2,), dup_ns=())
+        cond = F.lit(True)
+        if max_dup_line_frac is not None:
+            cond = cond & (F.col("dup_line_frac") <= max_dup_line_frac)
+        if max_top2gram_frac is not None:
+            cond = cond & (F.col("top2gram_char_frac") <= max_top2gram_frac)
+        gated = gated.join(
+            reps.filter(cond).select("doc_id"), "doc_id", "left_semi"
+        )
 
     # exact dedup: keep the minimum doc_id per normalized content hash
     h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))

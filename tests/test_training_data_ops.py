@@ -281,3 +281,17 @@ def test_ann_ivf_partial_probe_recall_and_determinism(spark, sf_dir):
         key = (r["q_id"], r["vec_id"])
         if key in bf_sim:
             assert abs(r["sim"] - bf_sim[key]) < 1e-9
+
+
+def test_clean_corpus_repetition_gates(spark, sf_dir):
+    """Optional Gopher gates drop repetitive docs; default-off keeps
+    the original pipeline output unchanged."""
+    from opentelemetry_collector_contrib_spark.functions import corpus as cp
+
+    docs = docsrc.documents_df(spark, sf_dir)
+    base_ids = {r["doc_id"] for r in cp.clean_corpus(docs).collect()}
+    gated = cp.clean_corpus(docs, max_dup_line_frac=0.0, max_top2gram_frac=0.15)
+    gated_ids = {r["doc_id"] for r in gated.collect()}
+    assert gated_ids <= base_ids  # gates only remove
+    # the gate binds on this corpus (synthetic docs repeat templates)
+    assert len(gated_ids) < len(base_ids)
