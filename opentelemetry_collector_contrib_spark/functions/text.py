@@ -194,13 +194,16 @@ def repetition_signals(
         all occurrences of n-grams that appear more than once / total
         token characters.
 
-    Scale shape: ONE explode per requested n plus line terms, unioned,
-    then two keyed aggregations — (doc, term) count with map-side
-    combine, then a per-doc rollup pivoted by conditional sums. The
-    grouping key is (doc, term), so hot docs spread across partitions;
-    nothing is collected per-doc, no windows over full docs, no Python.
-    Output: one row per input doc with the metric columns (docs with no
-    tokens get zeros).
+    Scale shape: ONE corpus scan and ONE explode — every requested
+    n-gram family plus the line terms concatenate into a single
+    (n, term) struct array per doc before exploding (a per-n union
+    would rescan the corpus once per family). Then two keyed
+    aggregations: (doc, n, term) count with map-side combine, and a
+    per-doc rollup pivoted by conditional sums. The grouping key is
+    (doc, term), so hot docs spread across partitions; nothing is
+    collected per-doc, no windows over full docs, no Python. Output:
+    one row per input doc with the metric columns (docs with no tokens
+    get zeros).
     """
     t = F.col("_rs_toks")
     # token-character total per doc (n-gram fractions use Gopher's
@@ -211,27 +214,32 @@ def repetition_signals(
         F.split(F.col(col), "\n").alias("_rs_lines"),
     )
 
-    terms = None
+    def _tagged(n: int, term: Column) -> Column:
+        return F.struct(F.lit(n).alias("n"), term.alias("term"))
+
+    def _gram_lambda(n: int):
+        # one-parameter lambda: a `lambda i, n=n` would LOOK unary but
+        # F.transform sees two params and passes the element index as n
+        return lambda i: _tagged(n, F.concat_ws(" ", F.slice(t, i, n)))
+
+    families = []
     for n in sorted(set(top_ns) | set(dup_ns)):
         seq = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
-        grams = F.when(
-            F.size(t) >= n,
-            F.transform(seq, lambda i: F.concat_ws(" ", F.slice(t, i, n))),
-        ).otherwise(F.array())
-        part = base.select(
-            F.col(id_col),
-            F.lit(n).alias("n"),
-            F.explode(grams).alias("term"),
+        families.append(
+            F.when(
+                F.size(t) >= n,
+                F.transform(seq, _gram_lambda(n)),
+            ).otherwise(F.array().cast("array<struct<n:int,term:string>>"))
         )
-        terms = part if terms is None else terms.unionByName(part)
-    lines = base.select(
-        F.col(id_col),
-        F.lit(0).alias("n"),  # n=0 marks line terms
-        F.explode(F.filter(F.col("_rs_lines"), lambda l: F.trim(l) != "")).alias(
-            "term"
-        ),
+    families.append(
+        F.transform(
+            F.filter(F.col("_rs_lines"), lambda l: F.trim(l) != ""),
+            lambda l: _tagged(0, l),  # n=0 marks line terms
+        )
     )
-    terms = lines if terms is None else terms.unionByName(lines)
+    terms = base.select(
+        F.col(id_col), F.explode(F.concat(*families)).alias("_t")
+    ).select(F.col(id_col), F.col("_t.n").alias("n"), F.col("_t.term").alias("term"))
 
     counted = terms.groupBy(id_col, "n", "term").agg(
         F.count(F.lit(1)).alias("c"), F.length(F.first("term")).alias("len")
