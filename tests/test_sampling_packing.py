@@ -137,3 +137,21 @@ def test_exact_sample_large_k_edge_cases(docs):
         docs, 50, "doc_id", seed=9, large_k=True, est_total=n, num_partitions=4
     )
     assert got.count() == 50
+
+
+def test_exact_sample_large_k_sweep(docs):
+    """large-k equals small-k across k/seed/partition combinations,
+    including k near the corpus size (pre-filter saturates to p=1)."""
+    n = docs.count()
+    for k, seed, parts in [(7, 0, 2), (250, 11, 8), (n - 3, 4, 4)]:
+        small = {
+            r["doc_id"]
+            for r in sampling.exact_sample(docs, k, "doc_id", seed=seed).collect()
+        }
+        big = {
+            r["doc_id"]
+            for r in sampling.exact_sample(
+                docs, k, "doc_id", seed=seed, large_k=True, num_partitions=parts
+            ).collect()
+        }
+        assert big == small, (k, seed, parts)

@@ -295,3 +295,17 @@ def test_clean_corpus_repetition_gates(spark, sf_dir):
     assert gated_ids <= base_ids  # gates only remove
     # the gate binds on this corpus (synthetic docs repeat templates)
     assert len(gated_ids) < len(base_ids)
+
+
+def test_ann_ivf_plan_shape(spark, sf_dir):
+    """Candidate discovery must be a broadcast equi-join on the int
+    cell id — never a cartesian product."""
+    from opentelemetry_collector_contrib_spark.functions import similarity as sim
+    from opentelemetry_collector_contrib_spark.sources import documents as docsrc
+
+    emb = docsrc.embeddings_df(spark, sf_dir)
+    cents = sim.train_ivf_centroids(emb, nlist=4, iters=0)
+    out = sim.ann_ivf_topk(emb, emb.limit(2), k=3, nprobe=2, centroids=cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
