@@ -101,10 +101,19 @@ def filter_drop(
 ) -> DataFrame:
     """filter transformer (transformer/filter/transformer.go:29-46):
     DROPS rows matching ``cond``; ``drop_ratio`` samples the drops
-    (config.go:60-67). Survivors = NOT(cond AND sampled)."""
+    (config.go:60-67). Survivors = NOT(cond AND sampled).
+
+    The ratio draw is a seeded hash of the whole row mapped to [0, 1) —
+    the reference uses math/rand, but rand() in Spark is re-drawn per
+    task attempt, so a retried task drops a DIFFERENT sample (silent
+    row drift at scale). Content-hashing keeps the op deterministic
+    under retries; identical rows share one draw, which for log streams
+    (timestamped, keyed) is statistically immaterial and documented."""
     drop = cond
     if drop_ratio < 1.0:
-        drop = cond & (F.rand(seed) < drop_ratio)
+        h = F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns])
+        u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+        drop = cond & (u < F.lit(float(drop_ratio)))
     return df.filter(~F.coalesce(drop, F.lit(False)))
 
 

@@ -245,3 +245,30 @@ def test_detect_env_and_config_list_form(spark, monkeypatch):
     )
     row = out.collect()[0]
     assert row["service.name"] == "checkout" and row["os.type"] == "linux"
+
+
+def test_filter_drop_ratio_deterministic(spark):
+    """drop_ratio sampling must be retry-stable: two evaluations of the
+    same plan keep the identical row set, and the kept fraction tracks
+    the ratio."""
+    from opentelemetry_collector_contrib_spark.operators import transformers as tr
+
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 2 == 0).alias("is_even")
+    )
+    out = tr.filter_drop(df, F.col("is_even"), drop_ratio=0.5, seed=7)
+    a = {r["id"] for r in out.collect()}
+    b = {r["id"] for r in out.collect()}
+    assert a == b
+    # all odd rows survive (cond false); ~half the even rows dropped
+    assert all(i in a for i in range(1, 4000, 2))
+    kept_even = sum(1 for i in a if i % 2 == 0)
+    assert 700 < kept_even < 1300  # 2000 evens, ratio 0.5, loose bound
+    # different seed -> different sample
+    c = {
+        r["id"]
+        for r in tr.filter_drop(
+            df, F.col("is_even"), drop_ratio=0.5, seed=8
+        ).collect()
+    }
+    assert c != a
