@@ -746,6 +746,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "kind", "n_bytes", "frame_count")
 
 
+def q_ann_ivf_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only twin (pytest-proven: nprobe=nlist == brute force):
+    IVF-flat ANN over the embeddings table."""
+    emb = docsrc.embeddings_df(spark, sf_dir)
+    return sim.ann_ivf_topk(emb, emb.limit(8), k=5, nlist=16, nprobe=4, iters=1)
+
+
+def q_repetition_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only twin (hand-computed-fixture pytest): Gopher repetition
+    metrics over the documents table."""
+    return tx.repetition_signals(docsrc.documents_df(spark, sf_dir))
+
+
 SAMPLE_K, SAMPLE_FRAC, PACK_BUDGET, PACK_SHARDS = 30, 0.2, 64, 8
 
 
@@ -790,6 +803,12 @@ def q_sample_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     g2 = sp.exact_sample(docs, 100, key="doc_id", seed=13)
     g_n = _per_lang(g1, "g")
     g_stable = _per_lang(g1.join(g2, ["doc_id", "lang"]), "g_stable")
+    # the large-k scale path (hash pre-filter + range-partitioned exact
+    # trim) must select the IDENTICAL sample as the TakeOrdered path
+    g3 = sp.exact_sample(
+        docs, 100, key="doc_id", seed=13, large_k=True, num_partitions=8
+    )
+    g_large = _per_lang(g1.join(g3, ["doc_id", "lang"]), "g_large")
     # global shuffle: output order must BE the seeded hash order —
     # ranks by physical output position (mono id follows the range
     # partitioning + in-partition sort) equal ranks by hash
@@ -808,7 +827,8 @@ def q_sample_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         base.join(ex_stable, "lang").join(ex_member, "lang")
         .join(fr_n, "lang").join(fr_stable, "lang")
-        .join(g_n, "lang").join(g_stable, "lang").join(sh_ok, "lang")
+        .join(g_n, "lang").join(g_stable, "lang").join(g_large, "lang")
+        .join(sh_ok, "lang")
     )
     k = F.least(F.lit(SAMPLE_K), F.col("_n"))
     return out.select(
@@ -823,6 +843,7 @@ def q_sample_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frac_tol_ok"),
         (F.col("n_fr_stable") == F.col("n_fr")).alias("frac_stable"),
         (F.col("n_g_stable") == F.col("n_g")).alias("gexact_stable"),
+        (F.col("n_g_large") == F.col("n_g")).alias("glarge_eq"),
         (F.col("_shuffle_min") == 1).alias("shuffle_ordered"),
     )
 
@@ -1433,7 +1454,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT lang, cast(least({SAMPLE_K}, count(*)) AS bigint) "
             "AS n_exact, TRUE AS exact_member, TRUE AS exact_stable, "
             "TRUE AS frac_tol_ok, TRUE AS frac_stable, "
-            "TRUE AS gexact_stable, TRUE AS shuffle_ordered "
+            "TRUE AS gexact_stable, TRUE AS glarge_eq, "
+            "TRUE AS shuffle_ordered "
             "FROM documents GROUP BY lang"
         ),
         "sum_items_by_team": f"{_TD}, {_PARSED_CTE} "

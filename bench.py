@@ -58,6 +58,8 @@ HEADLINE = [
     "text_stats",
     "ottl_extended",
     "otlpjson_envelope",
+    "ann_ivf_topk",
+    "repetition_signals",
 ]
 
 
@@ -74,6 +76,11 @@ def run_bench(spark: SparkSession, sf_dir: str, names=None) -> dict[str, float]:
     # parse_regex and no longer occupies a driver-checked query slot,
     # but its JVM-vs-Arrow timing comparison stays a headline number
     qs.setdefault("parse_regex_arrow", e.q_parse_regex_arrow)
+    # round-4 bench-only twins (board capped at 50 driver slots; both
+    # are pytest-proven — IVF against brute force, repetition against a
+    # hand-computed fixture)
+    qs.setdefault("ann_ivf_topk", e.q_ann_ivf_bench)
+    qs.setdefault("repetition_signals", e.q_repetition_bench)
     names = [n for n in (names or HEADLINE) if n in qs]
     times: dict[str, float] = {}
     for name in names:
