@@ -577,3 +577,70 @@ def test_charset_whole_file_size_guard(spark, tmp_path):
         assert out.count() == 1
     finally:
         spark.conf.unset("spark.graft.charset.maxFileBytes")
+
+
+def test_csv_parse_dynamic_header_attribute(spark):
+    """csv header_attribute: per-record header -> map, quote-aware,
+    count-mismatch and missing header hit the on_error channel."""
+    from opentelemetry_collector_contrib_spark.operators import parsers as ps
+
+    df = spark.createDataFrame(
+        [
+            ("a,b,c", "1,2,3"),                       # plain
+            ("x|y", '"v,1"|w'),                       # per-row schema + quoted delim (| fields)
+            ("k,v", '"say ""hi""",2'),                # doubled-quote unescape
+            ("a,b", "1,2,3"),                         # too many fields
+            (None, "1,2"),                            # missing header
+        ],
+        ["hdr", "line"],
+    )
+    # row 2 uses | as its own field delimiter — parse the | rows apart
+    pipe = ps.csv_parse_dynamic(
+        df.filter(F.col("hdr") == "x|y"), header_from="hdr",
+        parse_from="line", delimiter="|",
+    ).collect()[0]
+    assert pipe["parse_ok"] and pipe["csv"] == {"x": "v,1", "y": "w"}
+
+    rest = {
+        (r["hdr"], r["line"]): r
+        for r in ps.csv_parse_dynamic(
+            df.filter((F.col("hdr").isNull()) | (F.col("hdr") != "x|y")),
+            header_from="hdr", parse_from="line",
+        ).collect()
+    }
+    ok_row = [r for r in rest.values() if r["hdr"] == "a,b,c"][0]
+    assert ok_row["parse_ok"] and ok_row["csv"] == {"a": "1", "b": "2", "c": "3"}
+    quote_row = [r for r in rest.values() if r["hdr"] == "k,v"][0]
+    assert quote_row["parse_ok"] and quote_row["csv"] == {"k": 'say "hi"', "v": "2"}
+    bad = [r for r in rest.values() if r["hdr"] == "a,b"][0]
+    assert not bad["parse_ok"] and bad["csv"] is None
+    nohdr = [r for r in rest.values() if r["hdr"] is None][0]
+    assert not nohdr["parse_ok"] and nohdr["csv"] is None
+
+
+def test_csv_parse_dynamic_matches_static(spark):
+    """With a constant header the dynamic parser agrees with the static
+    csv_parse on every field."""
+    from opentelemetry_collector_contrib_spark.operators import parsers as ps
+
+    rows = [("1,2,3",), ('"a,x",2,',), ("only,two",)]
+    df = spark.createDataFrame(rows, ["line"]).withColumn(
+        "hdr", F.lit("f1,f2,f3")
+    )
+    dyn = {
+        r["line"]: r
+        for r in ps.csv_parse_dynamic(
+            df, header_from="hdr", parse_from="line"
+        ).collect()
+    }
+    stat = {
+        r["line"]: r
+        for r in ps.csv_parse(
+            df, ["f1", "f2", "f3"], parse_from="line"
+        ).collect()
+    }
+    for line, s in stat.items():
+        d = dyn[line]
+        assert d["parse_ok"] == s["parse_ok"], line
+        if s["parse_ok"]:
+            assert d["csv"] == {"f1": s["f1"], "f2": s["f2"], "f3": s["f3"]}
