@@ -424,16 +424,27 @@ def time_parse(
     layout: str = "%Y-%m-%dT%H:%M:%SZ",
     layout_type: str = "strptime",
     out: str = "event_ts",
+    location: str | None = None,
 ) -> DataFrame:
     """time_parser (operator/helper/time.go:54-75): strptime / gotime /
     epoch layouts.
 
     strptime and gotime layouts are translated to a Java format once on
     the driver; parsing itself is the JVM ``to_timestamp``.
+
+    ``location`` (time.go:43,116-123): a zone-less wall time is read in
+    the named IANA zone instead of the default. Implemented as
+    ``to_utc_timestamp`` over the parsed wall clock — exact under the
+    engine's UTC session timezone convention (the verify recipe pins
+    ``spark.sql.session.timeZone=UTC``; a non-UTC session renders the
+    wall clock differently before reinterpretation).
     """
     src = F.col(parse_from)
     if layout_type == "gotime":
-        return df.withColumn(out, F.to_timestamp(src, gotime_to_java(layout)))
+        col = F.to_timestamp(src, gotime_to_java(layout))
+        if location:
+            col = F.to_utc_timestamp(col, location)
+        return df.withColumn(out, col)
     if layout_type == "epoch":
         unit = layout  # s | ms | us | ns
         div = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
@@ -444,6 +455,8 @@ def time_parse(
         )
     else:
         col = F.to_timestamp(src, strptime_to_java(layout))
+        if location:
+            col = F.to_utc_timestamp(col, location)
     return df.withColumn(out, col)
 
 

@@ -644,3 +644,25 @@ def test_csv_parse_dynamic_matches_static(spark):
         assert d["parse_ok"] == s["parse_ok"], line
         if s["parse_ok"]:
             assert d["csv"] == {"f1": s["f1"], "f2": s["f2"], "f3": s["f3"]}
+
+
+def test_time_parse_location(spark):
+    """time_parser location: a zone-less wall time reads in the named
+    IANA zone (time.go:116-123). 12:00 in New York (EST, UTC-5 in Jan;
+    EDT, UTC-4 in Jul — DST-aware) maps to 17:00/16:00 UTC."""
+    from opentelemetry_collector_contrib_spark.operators import parsers as ps
+
+    df = spark.createDataFrame(
+        [("2024-01-15 12:00:00",), ("2024-07-15 12:00:00",)], ["ts_raw"]
+    )
+    out = {
+        r["ts_raw"]: r["event_ts"]
+        for r in ps.time_parse(
+            df, layout="%Y-%m-%d %H:%M:%S", location="America/New_York"
+        ).collect()
+    }
+    assert out["2024-01-15 12:00:00"].hour == 17
+    assert out["2024-07-15 12:00:00"].hour == 16
+    # no location: wall time reads as UTC (session tz)
+    plain = ps.time_parse(df, layout="%Y-%m-%d %H:%M:%S").collect()[0]
+    assert plain["event_ts"].hour == 12
