@@ -84,6 +84,12 @@ def exact_sample(
     N (e.g. from lineage).  If the pre-filter ever yields fewer than k
     survivors (p margin missed — astronomically unlikely), falls back
     to the exact top-k path for correctness.
+
+    The survivor frame stays persisted for the returned DataFrame's
+    lifetime (the per-partition counts and the rank job must see one
+    layout); it is sample-sized (~k rows). Call ``.unpersist()`` on it
+    via ``spark.catalog.clearCache()`` or drop the reference after
+    materializing if epochs are built in a long-lived session.
     """
     h = _hash_order(F.col(key), seed)
     if not large_k:
