@@ -197,12 +197,23 @@ def main() -> None:
             results = pair
     finally:
         shutil.rmtree(input_dir, ignore_errors=True)
-    best = max(per_round, key=lambda r: r["scaling_efficiency"])
+    # Headline = best PHYSICAL round. Super-linear windows (eff > 1)
+    # are throttle artifacts — the small-parallelism half ran while the
+    # shared host was degraded, inflating the ratio — so they are
+    # recorded raw but excluded from the headline; a headline claiming
+    # >1.0 efficiency would be evidence of noise, not of scaling.
+    physical = [r for r in per_round if r["scaling_efficiency"] <= 1.0]
+    best = max(
+        physical or per_round, key=lambda r: r["scaling_efficiency"]
+    )
     summary = {
         "rounds": per_round,
         "best_round": best["round"],
         "speedup": best["speedup"],
-        "scaling_efficiency": best["scaling_efficiency"],
+        "scaling_efficiency": min(best["scaling_efficiency"], 1.0),
+        "superlinear_rounds_excluded": [
+            r["round"] for r in per_round if r["scaling_efficiency"] > 1.0
+        ],
         "sink_counts_equal": True,
     }
     suffix = (

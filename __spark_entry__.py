@@ -427,7 +427,10 @@ def q_uri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_transformer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """add/copy/move/unquote/regex_replace/assign_keys in one chain
-    (stanza transformer family, SURVEY.md §2.3)."""
+    (stanza transformer family, SURVEY.md §2.3). assign_keys
+    (transformer/assignkeys/transformer.go:30 — zip a list with key
+    names into a map) was a standalone board row through round 4; it is
+    FOLDED here (v_role/v_tool below) to free a driver slot."""
     turns = src.transcripts_df(spark, sf_dir)
     out = transformers.add(turns, "pipeline", "logs")
     out = transformers.add(
@@ -438,9 +441,13 @@ def q_transformer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.withColumn("quoted_tool", F.concat(F.lit('"'), F.col("tool"), F.lit('"')))
     out = transformers.unquote(out, "quoted_tool")
     out = transformers.regex_replace(out, "text", r"\d", "#")
+    out = out.withColumn("vals", F.array("actor", "tool"))
+    out = transformers.assign_keys(out, "vals", ["k_role", "k_tool"], "m")
     return out.select(
         "conv_id", "turn_idx", "pipeline", "env_kind", "conv_copy",
         "actor", "quoted_tool", F.col("text").alias("masked"),
+        F.element_at("m", "k_role").alias("v_role"),
+        F.element_at("m", "k_tool").alias("v_tool"),
     )
 
 
@@ -515,17 +522,6 @@ def q_flatten_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transformers.retain(flat, ["conv_id", "turn_idx", "role", "tool"])
 
 
-def q_assign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """assign_keys transformer (transformer/assignkeys/transformer.go:30):
-    zip a list with key names into a map."""
-    turns = src.transcripts_df(spark, sf_dir)
-    df = turns.withColumn("vals", F.array("role", "tool"))
-    df = transformers.assign_keys(df, "vals", ["k_role", "k_tool"], "m")
-    return df.select(
-        "conv_id", "turn_idx",
-        F.element_at("m", "k_role").alias("v_role"),
-        F.element_at("m", "k_tool").alias("v_tool"),
-    )
 
 
 
@@ -650,20 +646,31 @@ CORPUS_MIN_QUALITY = 0.5
 CORPUS_KEEP_LANG = "en"
 
 
+CORPUS_MIN_WORDS = 30
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-corpus prep: quality gate -> language gate ->
-    exact dedup -> minhash-LSH near-dup removal."""
-    from opentelemetry_collector_contrib_spark.functions import corpus
+    Gopher document gates (word-count bounds, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alpha-word fraction; Rae et al.
+    §A1.1) -> exact dedup -> minhash-LSH near-dup removal — driven
+    through the declarative config pipeline (plans/config_pipeline.py),
+    the way a collector user would compose it."""
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
 
+    cfg = {
+        "processors": [
+            {"type": "quality_gate", "min_quality": CORPUS_MIN_QUALITY},
+            {"type": "lang_gate", "keep_lang": CORPUS_KEEP_LANG},
+            {"type": "gopher_gates", "min_words": CORPUS_MIN_WORDS},
+            {"type": "dedup_exact"},
+            {"type": "dedup_minhash", "shingle_w": SHINGLE_W,
+             "minhash_k": MINHASH_K, "lsh_bands": LSH_BANDS},
+        ]
+    }
     docs = docsrc.documents_df(spark, sf_dir)
-    return corpus.clean_corpus(
-        docs,
-        min_quality=CORPUS_MIN_QUALITY,
-        keep_lang=CORPUS_KEEP_LANG,
-        shingle_w=SHINGLE_W,
-        minhash_k=MINHASH_K,
-        lsh_bands=LSH_BANDS,
-    )
+    out, _ = config_pipeline.build_from_config(spark, sf_dir, cfg, source=docs)
+    return out.select("doc_id", "lang", "n_chars", "quality")
 
 
 def _corpus_oracle_sql() -> str:
@@ -688,12 +695,35 @@ quality_q AS (SELECT doc_id,
 hits AS (SELECT d.doc_id, {hits_cols}
          FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id),
 langed AS (SELECT doc_id, {_LANG_CASE} AS pred_lang FROM hits),
+gop AS (SELECT d.doc_id,
+          len(tk.t) AS nw,
+          cast(len(regexp_extract_all(d.text, '#|\\.\\.\\.|…')) AS double)
+            / greatest(len(tk.t), 1) AS sym_ratio,
+          cast(len(list_filter(list_filter(string_split(d.text, chr(10)),
+                 x -> trim(x) <> ''), x -> regexp_matches(trim(x), '^[-*•‣▪]')))
+            AS double)
+            / greatest(len(list_filter(string_split(d.text, chr(10)),
+                 x -> trim(x) <> '')), 1) AS bullet_frac,
+          cast(len(list_filter(list_filter(string_split(d.text, chr(10)),
+                 x -> trim(x) <> ''),
+                 x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS double)
+            / greatest(len(list_filter(string_split(d.text, chr(10)),
+                 x -> trim(x) <> '')), 1) AS ell_frac,
+          cast(len(list_filter(tk.t, x -> regexp_matches(x, '[a-z]')))
+            AS double) / greatest(len(tk.t), 1) AS alpha_w_frac
+        FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id),
 gated AS (SELECT d.doc_id, d.lang, d.n_chars, d.text, q.quality
           FROM documents d
           JOIN quality_q q ON d.doc_id = q.doc_id
           JOIN langed l ON d.doc_id = l.doc_id
+          JOIN gop g ON d.doc_id = g.doc_id
           WHERE q.quality >= {CORPUS_MIN_QUALITY}
-            AND l.pred_lang = '{CORPUS_KEEP_LANG}'),
+            AND l.pred_lang = '{CORPUS_KEEP_LANG}'
+            AND g.nw BETWEEN {CORPUS_MIN_WORDS} AND 100000
+            AND g.sym_ratio <= 0.1
+            AND g.bullet_frac <= 0.9
+            AND g.ell_frac <= 0.3
+            AND g.alpha_w_frac >= 0.8),
 hashed AS (SELECT *, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
            FROM gated),
 keepx AS (SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h),
@@ -720,6 +750,64 @@ WHERE p.doc_b IS NULL
 """
 
 
+def _repetition_oracle_sql() -> str:
+    """DuckDB re-implementation of functions/text.py repetition_signals:
+    same term families (word {2,3,4,5,10}-grams + non-blank lines, n=0
+    marks lines), same per-(doc, n) rollup (top cover by (count, len)
+    lexicographic max — Spark's max(struct)), same character-weighted
+    Gopher fractions, zero rows preserved via the distinct-ids left
+    join. The Spark side shuffles xxhash64(term) ids; the oracle counts
+    the term strings themselves — identical counts absent a 64-bit
+    collision (odds ~1e-7 at sf0.01)."""
+    gram_selects = []
+    for n in (2, 3, 4, 5, 10):
+        gram_selects.append(
+            f"SELECT doc_id, {n} AS n, unnest(list_transform("
+            f"generate_series(1, len(t) - {n - 1}), "
+            f"i -> array_to_string(t[i:i+{n - 1}], ' '))) AS term "
+            f"FROM toks WHERE len(t) >= {n}"
+        )
+    gram_selects.append(
+        "SELECT doc_id, 0 AS n, unnest(list_filter("
+        "string_split(text, chr(10)), x -> trim(x) <> '')) AS term "
+        "FROM documents"
+    )
+    terms = " UNION ALL ".join(gram_selects)
+    return f"""
+WITH {_TOKS_CTE},
+terms AS ({terms}),
+counted AS (SELECT doc_id, n, term, count(*) AS c, length(term) AS len
+            FROM terms GROUP BY doc_id, n, term),
+per_n AS (SELECT doc_id, n,
+            sum(c * len) AS tot_chars,
+            sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars,
+            sum(c) AS n_terms,
+            sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_terms
+          FROM counted GROUP BY doc_id, n),
+ranked AS (SELECT doc_id, n, c * len AS cover,
+             row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY c DESC, len DESC) AS rn
+           FROM counted),
+mets AS (SELECT p.doc_id, p.n,
+           cast(t.cover AS double) / greatest(p.tot_chars, 1) AS top_frac,
+           cast(p.dup_chars AS double) / greatest(p.tot_chars, 1) AS dup_frac,
+           cast(p.dup_terms AS double) / greatest(p.n_terms, 1) AS dup_term_frac
+         FROM per_n p JOIN (SELECT * FROM ranked WHERE rn = 1) t
+         ON p.doc_id = t.doc_id AND p.n = t.n)
+SELECT d.doc_id,
+  coalesce(max(CASE WHEN n = 2 THEN top_frac END), 0.0) AS top2gram_char_frac,
+  coalesce(max(CASE WHEN n = 3 THEN top_frac END), 0.0) AS top3gram_char_frac,
+  coalesce(max(CASE WHEN n = 4 THEN top_frac END), 0.0) AS top4gram_char_frac,
+  coalesce(max(CASE WHEN n = 5 THEN dup_frac END), 0.0) AS dup5gram_char_frac,
+  coalesce(max(CASE WHEN n = 10 THEN dup_frac END), 0.0) AS dup10gram_char_frac,
+  coalesce(max(CASE WHEN n = 0 THEN dup_term_frac END), 0.0) AS dup_line_frac,
+  coalesce(max(CASE WHEN n = 0 THEN dup_frac END), 0.0) AS dup_line_char_frac
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN mets m ON d.doc_id = m.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked, global top-20."""
     emb = docsrc.embeddings_df(spark, sf_dir)
@@ -732,9 +820,6 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(emb, queries_df, k=ANN_K, planes=ANN_PLANES)
 
 
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docsrc.documents_df(spark, sf_dir)
-    return tx.lang_id(docs).select("doc_id", "lang", "pred_lang")
 
 
 
@@ -747,15 +832,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only twin (pytest-proven: nprobe=nlist == brute force):
-    IVF-flat ANN over the embeddings table."""
+    """Bench twin at honest ANN settings (nprobe < nlist): IVF-flat ANN
+    over the embeddings table."""
     emb = docsrc.embeddings_df(spark, sf_dir)
     return sim.ann_ivf_topk(emb, emb.limit(8), k=5, nlist=16, nprobe=4, iters=1)
 
 
-def q_repetition_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only twin (hand-computed-fixture pytest): Gopher repetition
-    metrics over the documents table."""
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN driver row, run at nprobe == nlist (full probe):
+    every query probes every inverted list, so the candidate set is the
+    whole corpus and the result is EXACTLY brute-force kNN — which makes
+    the full IVF machinery (deterministic k-means quantizer, Arrow
+    matmul assignment, cell-id broadcast join, bounded top-k)
+    SQL-replayable: the oracle is the same query brute force uses.
+    Recall at nprobe < nlist is covered by pytest
+    (tests/test_similarity.py)."""
+    emb = docsrc.embeddings_df(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)
+    return sim.ann_ivf_topk(
+        emb, queries_df, k=ANN_K, nlist=16, nprobe=16, iters=1
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition metrics (Rae et al. 2021 §A1.1) over the
+    documents table — dup-line fractions + top/dup n-gram character
+    fractions, one scan + one explode (functions/text.py)."""
     return tx.repetition_signals(docsrc.documents_df(spark, sf_dir))
 
 
@@ -1148,15 +1250,19 @@ def q_ottl_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite text-analysis stage: quality scoring + token counting +
-    rolling-hash fingerprint in ONE narrow projection (one scan — how a
-    corpus-prep pipeline actually runs them)."""
+    """Composite text-analysis stage: language ID + quality scoring +
+    token counting + rolling-hash fingerprint in ONE narrow projection
+    (one scan — how a corpus-prep pipeline actually runs them).
+    lang_id was a standalone board row through round 4; folded here
+    (lang/pred_lang columns) to free a driver slot."""
     docs = docsrc.documents_df(spark, sf_dir)
-    out = tx.quality_score(docs)
+    out = tx.lang_id(docs)
+    out = tx.quality_score(out)
     out = tx.bpe_ish_count(tx.token_count(out))
     out = tx.doc_fingerprint(out, w=5)
     return out.select(
-        "doc_id", "length_ok", "alpha_ratio", "stop_sig", "word_len_ok",
+        "doc_id", "lang", "pred_lang",
+        "length_ok", "alpha_ratio", "stop_sig", "word_len_ok",
         "quality", "n_tokens", "n_bpe", "fingerprint", "exact_hash",
     )
 
@@ -1166,7 +1272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every operator here must get a CORRECTNESS row. Twin variants that
     # are pytest-proven equal (parse_regex_arrow, the single-purpose
     # redaction/enrich/time/digest sub-cases) are FOLDED into composite
-    # queries rather than occupying slots.
+    # queries rather than occupying slots; round 5 folded assign_keys
+    # into transformer_suite and text_langid into text_stats to free
+    # slots for ann_ivf_topk and repetition_signals.
     return {
         "parse_regex": q_parse_regex,
         "parse_on_error_drop": q_parse_drop,
@@ -1191,7 +1299,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count_by_role": q_salted_count_by_role,
         "jsonarray_parse": q_jsonarray_parse,
         "flatten_retain": q_flatten_retain,
-        "assign_keys": q_assign_keys,
         "resource_detection": q_resource_detection,
         "pack_sequences": q_pack_sequences,
         "syslog_rfc5424": q_syslog_rfc5424,
@@ -1215,9 +1322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "corpus_clean": q_corpus_clean,
-        "text_langid": q_text_langid,
         "text_stats": q_text_stats,
         "multimodal_features": q_multimodal_features,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "repetition_signals": q_repetition_signals,
     }
 
 
@@ -1498,8 +1606,6 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, turn_idx, role AS e1, tool AS e2 FROM transcripts",
         "flatten_retain": f"{_T} "
         "SELECT conv_id, turn_idx, role, tool FROM transcripts",
-        "assign_keys": f"{_T} "
-        "SELECT conv_id, turn_idx, role AS v_role, tool AS v_tool FROM transcripts",
         # the oracle runs the SAME driver-side probe (same host, same
         # values) so the row checks the real detector output
         "resource_detection": f"{_T} "
@@ -1591,7 +1697,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, turn_idx, 'logs' AS pipeline, "
         "CASE WHEN role = 'system' THEN 'sys' END AS env_kind, "
         "conv_id AS conv_copy, role AS actor, tool AS quoted_tool, "
-        "regexp_replace(text, '\\d', '#', 'g') AS masked FROM transcripts",
+        "regexp_replace(text, '\\d', '#', 'g') AS masked, "
+        "role AS v_role, tool AS v_tool FROM transcripts",
         "attr_insert_update_delete": f"{_T} "
         "SELECT conv_id, turn_idx, "
         "CASE WHEN role = 'system' THEN 'PRE-SET' ELSE 'INSERTED' END AS env, "
@@ -1702,17 +1809,15 @@ def oracle_sql() -> dict[str, str]:
             extra=" AND " + _BUCKET_BITS.format(v="e.embedding")
             + " = " + _BUCKET_BITS.format(v="q.q_raw")
         ),
-        "text_langid": (
-            f"WITH {_TOKS_CTE}, "
-            "hits AS (SELECT d.doc_id, d.lang, "
-            + ", ".join(f"{_HITS[l]} AS h_{l}" for l in tx.STOPWORDS)
-            + " FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id) "
-            f"SELECT doc_id, lang, {_LANG_CASE} AS pred_lang FROM hits"
-        ),
         "text_stats": (
             f"WITH {_TOKS_CTE}, "
             + _QUALITY_EXPRS.format(h_en=_HITS["en"].replace("(t,", "(tk.t,"))
-            + " SELECT c.doc_id, c.length_ok, c.alpha_ratio, c.stop_sig, "
+            + ", hits AS (SELECT d.doc_id, d.lang, "
+            + ", ".join(f"{_HITS[l]} AS h_{l}" for l in tx.STOPWORDS)
+            + " FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id)"
+            + " SELECT c.doc_id, h.lang, "
+            f"{_LANG_CASE} AS pred_lang, "
+            "c.length_ok, c.alpha_ratio, c.stop_sig, "
             "c.word_len_ok, "
             "0.25*c.length_ok + 0.25*c.alpha_ratio + 0.25*c.stop_sig + "
             "0.25*c.word_len_ok AS quality, "
@@ -1724,7 +1829,8 @@ def oracle_sql() -> dict[str, str]:
             "i -> md5(array_to_string(tk.t[i:i+4], ' ')))) AS fingerprint, "
             "md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS exact_hash "
             "FROM comp c JOIN documents d ON c.doc_id = d.doc_id "
-            "JOIN toks tk ON c.doc_id = tk.doc_id"
+            "JOIN toks tk ON c.doc_id = tk.doc_id "
+            "JOIN hits h ON c.doc_id = h.doc_id"
         ),
         "multimodal_features": (
             "SELECT doc_id, "
@@ -1735,4 +1841,8 @@ def oracle_sql() -> dict[str, str]:
             "ELSE greatest(octet_length(encode(text)) // 100, 1) END AS int) "
             "AS frame_count FROM documents"
         ),
+        # full probe (nprobe == nlist) makes IVF exactly brute force, so
+        # the oracle is the same kNN SQL the brute-force row replays
+        "ann_ivf_topk": _ANN_TOPK_SQL.format(extra=""),
+        "repetition_signals": _repetition_oracle_sql(),
     }

@@ -39,8 +39,17 @@ def clean_corpus(
     lsh_bands: int = 4,
     max_dup_line_frac: float | None = None,
     max_top2gram_frac: float | None = None,
+    gopher: dict | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus (doc_id, lang, n_chars, quality).
+
+    ``gopher`` switches on the remaining Rae et al. §A1.1 document
+    gates (:func:`..text.gopher_gates` — word-count bounds,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    fraction): pass ``{}`` for the published defaults or override
+    thresholds by keyword (e.g. ``{"min_words": 30}``). The gate is a
+    NARROW filter evaluated in the same scan as the quality/language
+    gates — docs drop before anything pays a shuffle.
 
     The two optional caps add the Gopher repetition gates
     (:func:`..text.repetition_signals`) between the quality/language
@@ -51,6 +60,8 @@ def clean_corpus(
     gated = scored.filter(
         (F.col("quality") >= min_quality) & (F.col("pred_lang") == keep_lang)
     )
+    if gopher is not None:
+        gated = tx.gopher_gates(gated, **gopher).filter(F.col("gopher_ok"))
     if max_dup_line_frac is not None or max_top2gram_frac is not None:
         reps = tx.repetition_signals(gated, top_ns=(2,), dup_ns=())
         cond = F.lit(True)

@@ -58,6 +58,7 @@ def exact_sample(
     large_k: bool = False,
     est_total: int | None = None,
     num_partitions: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact-k uniform-without-replacement sample = first k rows of the
     seeded hash order.
@@ -87,9 +88,13 @@ def exact_sample(
 
     The survivor frame stays persisted for the returned DataFrame's
     lifetime (the per-partition counts and the rank job must see one
-    layout); it is sample-sized (~k rows). Call ``.unpersist()`` on it
-    via ``spark.catalog.clearCache()`` or drop the reference after
-    materializing if epochs are built in a long-lived session.
+    layout); it is sample-sized (~k rows). ``materialize=True`` is the
+    epoch-loop mode: it eagerly computes the trimmed sample into a
+    ``localCheckpoint`` (truncating lineage off the cached parent) and
+    unpersists the survivor frame before returning, so repeated
+    per-epoch sampling in a long-lived session leaves no accumulated
+    cache behind — the checkpointed sample itself is released by
+    Spark's ContextCleaner when the caller drops the DataFrame.
     """
     h = _hash_order(F.col(key), seed)
     if not large_k:
@@ -124,11 +129,15 @@ def exact_sample(
         *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
     )
     w = Window.partitionBy("_pid").orderBy(h, F.col(key))
-    return (
+    out = (
         ranged.withColumn("_rank", off_map[F.col("_pid")] + F.row_number().over(w))
         .filter(F.col("_rank") <= k)
         .drop("_pid", "_rank")
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        ranged.unpersist()
+    return out
 
 
 def stratified_sample(

@@ -226,11 +226,13 @@ def train_ivf_centroids(
         of their id (a deterministic uniform sample — no rand());
       * ``iters`` Lloyd rounds: assignment is one Arrow-batched numpy
         matmul per batch (no per-row Python), the mean-update is a JVM
-        groupBy with one avg per dimension (dim aggregates over nlist
-        groups — a tiny shuffle), collected as nlist×dim floats.
+        posexplode + one (list, pos)-keyed avg — dimension is DATA, not
+        column count, so the same plan serves dim 64 and dim 1024+
+        (nlist×dim result rows, collected as the centroid matrix).
 
-    At corpus scale each round is one narrow pass + one nlist-keyed
-    aggregation; the driver only ever holds the centroid matrix.
+    At corpus scale each round is one narrow pass + one aggregation
+    whose map-side combine reduces to nlist×dim rows; the driver only
+    ever holds the centroid matrix.
     """
     sample = (
         emb.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
@@ -247,20 +249,19 @@ def train_ivf_centroids(
             F.col(vec_col),
         )
         means = (
-            assigned.groupBy("_list")
-            .agg(
-                *[
-                    F.avg(
-                        F.element_at(F.col(vec_col), i + 1).cast("double")
-                    ).alias(f"d{i}")
-                    for i in range(dim)
-                ]
+            assigned.select(
+                "_list", F.posexplode(F.col(vec_col)).alias("_pos", "_v")
             )
+            .groupBy("_list", "_pos")
+            .agg(F.avg(F.col("_v").cast("double")).alias("m"))
             .collect()
         )
-        new = list(centroids)  # empty lists keep their old centroid
+        # empty lists keep their old centroid; posexplode only emits
+        # rows for populated lists, so untouched slots stay as-is
+        new = [list(c) for c in centroids]
         for r in means:
-            new[r["_list"]] = [r[f"d{i}"] for i in range(dim)]
+            if r["_pos"] < dim:
+                new[r["_list"]][r["_pos"]] = r["m"]
         centroids = new
     return centroids
 

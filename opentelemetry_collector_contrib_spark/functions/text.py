@@ -23,6 +23,7 @@ __all__ = [
     "bpe_ish_count",
     "lang_id",
     "quality_score",
+    "gopher_gates",
     "doc_fingerprint",
     "repetition_signals",
     "STOPWORDS",
@@ -143,6 +144,80 @@ def quality_score(df: DataFrame, col: str = "text", out: str = "quality") -> Dat
         )
         .drop("_q_toks")
     )
+
+
+#: symbols Gopher's symbol-to-word ratio counts: '#' plus ellipses
+SYMBOL_RE = r"#|\.\.\.|…"
+#: line-leading bullet glyphs
+BULLET_RE = "^[-*•‣▪]"
+#: line-trailing ellipsis
+ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+
+def gopher_gates(
+    df: DataFrame,
+    col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    out: str = "gopher_ok",
+) -> DataFrame:
+    """The remaining Gopher document gates (Rae et al. 2021 §A1.1),
+    complementing :func:`quality_score` (length/alpha/stopword/word-len)
+    and :func:`repetition_signals` (dup-line + n-gram fractions):
+
+      * ``n_words`` within ``[min_words, max_words]``;
+      * ``symbol_word_ratio`` — '#'/ellipsis occurrences per word
+        ≤ ``max_symbol_word_ratio``;
+      * ``bullet_line_frac`` — non-blank lines starting with a bullet
+        glyph ≤ ``max_bullet_line_frac``;
+      * ``ellipsis_line_frac`` — non-blank lines ending in an ellipsis
+        ≤ ``max_ellipsis_line_frac``;
+      * ``alpha_word_frac`` — words containing ≥1 letter
+        ≥ ``min_alpha_word_frac``.
+
+    Emits each signal column plus the combined boolean ``out``. All
+    narrow Catalyst expressions over one tokenization and one line
+    split — no shuffle, no Python; at corpus scale this gate runs
+    inside the scan before anything pays an exchange. Thresholds
+    default to the published Gopher values."""
+    df = df.withColumn("_gg_toks", tokens(col)).withColumn(
+        "_gg_lines",
+        F.filter(
+            F.split(F.col(col), "\n"), lambda l: F.trim(l) != ""
+        ),
+    )
+    t, ln = F.col("_gg_toks"), F.col("_gg_lines")
+    n_words = F.size(t)
+    n_lines = F.size(ln)
+    d_words = F.greatest(n_words, F.lit(1)).cast("double")
+    d_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    # F.lit pattern (not an F.expr SQL literal): SQL string literals
+    # re-process backslashes, which would corrupt the \.\.\. escape
+    n_sym = F.size(F.regexp_extract_all(F.col(col), F.lit(SYMBOL_RE), F.lit(0)))
+    n_bullet = F.size(F.filter(ln, lambda l: F.trim(l).rlike(BULLET_RE)))
+    n_ell = F.size(F.filter(ln, lambda l: F.rtrim(l).rlike(ELLIPSIS_RE)))
+    n_alpha_w = F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+    out_df = (
+        df.withColumn("n_words", n_words)
+        .withColumn("symbol_word_ratio", n_sym.cast("double") / d_words)
+        .withColumn("bullet_line_frac", n_bullet.cast("double") / d_lines)
+        .withColumn("ellipsis_line_frac", n_ell.cast("double") / d_lines)
+        .withColumn("alpha_word_frac", n_alpha_w.cast("double") / d_words)
+    )
+    ok = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+    )
+    return out_df.withColumn(out, ok).drop("_gg_toks", "_gg_lines")
 
 
 def doc_fingerprint(

@@ -241,20 +241,48 @@ def write_routed(
         # config.go:58-79): bound each output file; Spark rolls to a new
         # file within the same task once the cap is hit
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.save(path)
     sinks = sorted({s for v in sink_map.values() for s in v})
     paths = {s: f"{path}/sink={s}" for s in sinks}
+    pre_existing = (
+        _snapshot_parts(tagged.sparkSession, paths.values())
+        if max_backups is not None
+        else None
+    )
+    writer.save(path)
     if max_backups is not None:
-        _prune_backups(tagged.sparkSession, paths.values(), max_backups)
+        _prune_backups(
+            tagged.sparkSession, paths.values(), max_backups, pre_existing
+        )
     return paths
 
 
-def _prune_backups(spark, sink_paths, max_backups: int) -> None:
+def _snapshot_parts(spark, sink_paths) -> set:
+    """Record the part-files present BEFORE a write, so retention can
+    distinguish prior generations from the current write's output."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    seen = set()
+    for sp in sink_paths:
+        p = jvm.org.apache.hadoop.fs.Path(sp)
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            continue
+        for st in fs.listStatus(p):
+            if st.getPath().getName().startswith("part-"):
+                seen.add(st.getPath().toString())
+    return seen
+
+
+def _prune_backups(spark, sink_paths, max_backups: int, pre_existing: set) -> None:
     """rotation.max_backups (exporter/fileexporter/config.go:71-73):
-    lumberjack retains at most N rotated files and DELETES older ones —
-    bounded retention with data loss by design. Analog: keep the N
-    newest part-files per sink directory, via the Hadoop FileSystem API
-    so it works on any cluster filesystem, not just local disk."""
+    lumberjack retains at most N *rotated* (older-generation) files and
+    DELETES the ones beyond that — it never touches the live file. The
+    analog: only files that existed BEFORE this write (a prior
+    generation that survived, e.g. under append/dynamic-partition
+    writes) are candidates; everything the current write produced is
+    the live generation and is always kept, regardless of how many
+    part-files the tasks emitted. Uses the Hadoop FileSystem API so it
+    works on any cluster filesystem, not just local disk."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     for sp in sink_paths:
@@ -266,6 +294,7 @@ def _prune_backups(spark, sink_paths, max_backups: int) -> None:
             st
             for st in fs.listStatus(p)
             if st.getPath().getName().startswith("part-")
+            and st.getPath().toString() in pre_existing
         ]
         parts.sort(key=lambda st: st.getModificationTime(), reverse=True)
         for st in parts[max_backups:]:

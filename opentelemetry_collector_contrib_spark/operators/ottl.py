@@ -735,16 +735,24 @@ def _compile(node, ctx: _Ctx) -> Column:
                     F.unix_micros(l.cast("timestamp"))
                     - F.unix_micros(r.cast("timestamp"))
                 ) * 1000
+            # nanos -> micros via exact decimal floor division: a
+            # double divide then cast('long') truncates toward zero
+            # (negative sub-µs residue lands 1µs high vs Go's exact ns
+            # arithmetic) and loses precision past 2^53 ns; decimal
+            # division + floor is exact over the full int64 range
+            def _ns_to_us(c):
+                return F.floor(
+                    c.cast("decimal(38,0)") / F.lit(1000)
+                ).cast("long")
+
             if fl == "time":  # time ± duration -> time
-                shift = (r / F.lit(1000)).cast("long")  # nanos -> micros
-                base_us = F.unix_micros(l.cast("timestamp"))
+                shift = _ns_to_us(r if node.op == "+" else -r)
                 return F.timestamp_micros(
-                    base_us + shift if node.op == "+" else base_us - shift
+                    F.unix_micros(l.cast("timestamp")) + shift
                 )
             if fr == "time":  # duration + time -> time
-                shift = (l / F.lit(1000)).cast("long")
                 return F.timestamp_micros(
-                    F.unix_micros(r.cast("timestamp")) + shift
+                    F.unix_micros(r.cast("timestamp")) + _ns_to_us(l)
                 )
             # duration ± duration: plain int64 arithmetic below
         elif node.op in ("+", "-", "*", "/") and (

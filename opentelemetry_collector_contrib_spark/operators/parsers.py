@@ -274,8 +274,25 @@ def csv_parse_dynamic(
         & F.col(parse_from).isNotNull()
         & (F.size(headers) == F.size(vals))
     )
+    # Duplicate header names: the reference's MapCSVHeaders assigns into
+    # a Go map in order, so the LAST value silently wins per record.
+    # map_from_arrays under Spark's default mapKeyDedupPolicy=EXCEPTION
+    # would instead fail the whole job on one bad record — so drop every
+    # entry that has a later occurrence of the same key (an O(w²)
+    # expression over w = column count, trivial per record) and build
+    # the map from the deduplicated entries.
+    entries = F.zip_with(
+        headers, vals, lambda k, v: F.struct(k.alias("key"), v.alias("value"))
+    )
+    deduped = F.filter(
+        entries,
+        lambda x, i: F.array_position(
+            F.slice(headers, i + F.lit(2), F.size(headers)), x["key"]
+        )
+        == 0,
+    )
     return df.withColumn("parse_ok", parse_ok).withColumn(
-        out, F.when(parse_ok, F.map_from_arrays(headers, vals))
+        out, F.when(parse_ok, F.map_from_entries(deduped))
     )
 
 

@@ -108,10 +108,32 @@ def filter_drop(
     task attempt, so a retried task drops a DIFFERENT sample (silent
     row drift at scale). Content-hashing keeps the op deterministic
     under retries; identical rows share one draw, which for log streams
-    (timestamped, keyed) is statistically immaterial and documented."""
+    (timestamped, keyed) is statistically immaterial and documented.
+
+    Map-typed columns (csv header_attribute output, attribute maps)
+    are not hashable by Spark's xxhash64 (AnalysisException under the
+    default spark.sql.legacy.allowHashOnMapType=false), so any column
+    whose type contains a MapType is hashed via its canonical
+    ``to_json`` rendering instead — same determinism, no analysis
+    error."""
     drop = cond
     if drop_ratio < 1.0:
-        h = F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns])
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _has_map(dt) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _has_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_has_map(f.dataType) for f in dt.fields)
+            return False
+
+        cols = [
+            F.to_json(F.col(f.name)) if _has_map(f.dataType) else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        h = F.xxhash64(F.lit(seed), *cols)
         u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
         drop = cond & (u < F.lit(float(drop_ratio)))
     return df.filter(~F.coalesce(drop, F.lit(False)))

@@ -8,14 +8,18 @@ empty components skipped — uap-go ``ToVersionString``). Unknown agents
 are family ``Other`` with an empty version.
 
 This module vendors a SUBSET of the public uap-core pattern semantics —
-the ordered browser/tool families that cover the overwhelming majority
-of real HTTP traffic — re-expressed as ONE chained CASE over JVM
-``rlike``/``regexp_extract`` (first match wins, like ua-parser's ordered
-list; no Python in the path). Families beyond the subset fall back to
-``Other`` exactly like ua-parser does for agents its database misses.
-Verified against the reference's own test fixtures
-(func_useragent_test.go: Firefox, Chrome, Mobile Safari, Edge, Opera,
-curl, unknown → Other).
+the ordered bot/webview/TV/browser/tool families that cover the
+overwhelming majority of real HTTP traffic (~90 patterns: the major
+search/social/SEO/AI crawlers, in-app webviews, TV and console agents,
+every mainstream browser lineage, CLI/SDK clients) — re-expressed as
+ONE chained CASE over JVM ``rlike``/``regexp_extract`` (first match
+wins, like ua-parser's ordered list; no Python in the path). Families
+beyond the subset fall back to ``Other`` exactly like ua-parser does
+for agents its database misses. Verified against the reference's own
+test fixtures (func_useragent_test.go: Firefox, Chrome, Mobile Safari,
+Edge, Opera, curl, unknown → Other) plus a uap-core-style corpus in
+tests/test_round5.py; the measured ``Other`` rate on that realistic
+mix is reported in COVERAGE.md.
 """
 
 from __future__ import annotations
@@ -25,11 +29,82 @@ from pyspark.sql import Column, functions as F
 __all__ = ["user_agent_map", "UA_PATTERNS"]
 
 # (java_regex, family | None → captured group 1, version group numbers)
-# ORDER MATTERS: first match wins. Chrome-derived browsers (Opera, Edge,
-# Samsung, Yandex, Vivaldi) must precede Chrome; Chrome must precede
-# Safari (Chrome UAs contain "Safari/"); Version/-based Safari detection
-# must distinguish Mobile.
+# ORDER MATTERS: first match wins, mirroring uap-core's ordered list:
+#   1. bots/spiders FIRST — evergreen crawlers (Googlebot, bingbot,
+#      Applebot…) embed a full "Chrome/W.X.Y.Z Safari/537.36" browser
+#      signature, so any browser pattern would shadow them;
+#   2. in-app webviews (Instagram, Facebook, WeChat…) and TV/console
+#      agents (Chromecast, Silk, HbbTV…) next — they also carry their
+#      engine's Chrome/Safari tokens;
+#   3. Chrome-derived browsers (Opera, Edge, Samsung, Yandex, Vivaldi)
+#      precede Chrome; Chrome precedes Safari (Chrome UAs contain
+#      "Safari/"); Version/-based Safari detection distinguishes Mobile;
+#   4. CLI/SDK clients last (nothing shadows them).
+# Smart-TV platforms whose browser IS the engine (Tizen TV →
+# SamsungBrowser, LG webOS → Chrome) resolve through the browser block,
+# as in uap-core. An empty version-group tuple means the family carries
+# no version (→ "" like ToVersionString on no match).
 UA_PATTERNS: list[tuple[str, str | None, tuple[int, ...]]] = [
+    # --- bots / spiders (uap-core regexes.yaml bot block, top entries) ---
+    (r"(Googlebot(?:-Image|-News|-Video|-Mobile)?)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(AdsBot-Google(?:-Mobile)?)", None, ()),
+    (r"(APIs-Google)", None, ()),
+    (r"(Mediapartners-Google)", None, ()),
+    (r"(FeedFetcher-Google)", None, ()),
+    (r"(Google-Read-Aloud)", None, ()),
+    (r"(bingbot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(adidxbot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(BingPreview)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(Yahoo! Slurp)", None, ()),
+    (r"(DuckDuckBot)(?:/(\d+)\.(\d+))?", None, (2, 3)),
+    (r"(Baiduspider)(?:-render|-image)?(?:/(\d+)\.(\d+))?", None, (2, 3)),
+    (r"(YandexBot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(Sogou web spider)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(Exabot)(?:/(\d+)\.(\d+))?", None, (2, 3)),
+    (r"(facebookexternalhit)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(Facebot)", None, ()),
+    (r"(Applebot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(Twitterbot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(LinkedInBot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(Pinterestbot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(TelegramBot)", None, ()),
+    (r"(Discordbot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(WhatsApp)/(\d+)\.(\d+)(?:\.(\d+))?", None, (2, 3, 4)),
+    (r"(SemrushBot)(?:/(\d+)\.(\d+))?", None, (2, 3)),
+    (r"(AhrefsBot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(MJ12bot)/v?(\d+)\.(\d+)", None, (2, 3)),
+    (r"(DotBot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(PetalBot)", None, ()),
+    (r"(Bytespider)", None, ()),
+    (r"(GPTBot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(CCBot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(Amazonbot)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(ia_archiver)", None, ()),
+    (r"(archive\.org_bot)", None, ()),
+    # --- in-app webviews / embedded browsers ---
+    (r"(Instagram)[ /](\d+)\.(\d+)(?:\.(\d+))?", None, (2, 3, 4)),
+    (r"(FBAV)/(\d+)\.(\d+)(?:\.(\d+))?", "Facebook", (2, 3, 4)),
+    (r"(GSA)/(\d+)\.(\d+)(?:\.(\d+))?", "Google", (2, 3, 4)),
+    (r"(Snapchat)/(\d+)\.(\d+)(?:\.(\d+))?", None, (2, 3, 4)),
+    (r"(?:musical_ly|TikTok)[ _/](\d+)\.(\d+)(?:\.(\d+))?", "TikTok", (1, 2, 3)),
+    (r"\b(Line)/(\d+)\.(\d+)(?:\.(\d+))?", "LINE", (2, 3, 4)),
+    (r"(MicroMessenger)/(\d+)\.(\d+)(?:\.(\d+))?", "WeChat", (2, 3, 4)),
+    (r"(DuckDuckGo)/(\d+)", None, (2,)),
+    (r"(UCBrowser)/(\d+)\.(\d+)(?:\.(\d+))?", "UC Browser", (2, 3, 4)),
+    (r"(MQQBrowser)/(\d+)(?:\.(\d+))?", "QQ Browser Mobile", (2, 3)),
+    (r"(QQBrowser)/(\d+)\.(\d+)(?:\.(\d+))?", "QQ Browser", (2, 3, 4)),
+    (r"(MiuiBrowser)/(\d+)\.(\d+)(?:\.(\d+))?", "Mi Browser", (2, 3, 4)),
+    (r"(HuaweiBrowser)/(\d+)\.(\d+)(?:\.(\d+))?", "Huawei Browser", (2, 3, 4)),
+    (r"(Silk)/(\d+)\.(\d+)(?:\.(\d+))?", "Amazon Silk", (2, 3, 4)),
+    (r"(Whale)/(\d+)\.(\d+)(?:\.(\d+))?", None, (2, 3, 4)),
+    # --- TV / streaming / console agents ---
+    (r"(AppleTV)(?:/(\d+)\.(\d+))?", "Apple TV", (2, 3)),
+    (r"(Roku)/DVP-(\d+)\.(\d+)", None, (2, 3)),
+    (r"(CrKey)(?:[/-](\d+)\.(\d+))?", "Chromecast", (2, 3)),
+    (r"(NintendoBrowser)/(\d+)\.(\d+)", None, (2, 3)),
+    (r"(HbbTV)/(\d+)\.(\d+)(?:\.(\d+))?", None, (2, 3, 4)),
+    # --- browsers (Chrome derivatives before Chrome, Chrome before
+    # Safari) ---
     (r"(OPR)/(\d+)\.(\d+)(?:\.(\d+))?", "Opera", (2, 3, 4)),
     (r"(Opera Mini)/(\d+)\.(\d+)(?:\.(\d+))?", "Opera Mini", (2, 3, 4)),
     (r"(Edge?)/(\d+)\.(\d+)(?:\.(\d+))?", "Edge", (2, 3, 4)),
@@ -69,9 +144,13 @@ UA_PATTERNS: list[tuple[str, str | None, tuple[int, ...]]] = [
     (r"Version/(\d+)\.(\d+)(?:\.(\d+))?.* Safari/", "Safari", (1, 2, 3)),
     (r"(MSIE) (\d+)\.(\d+)", "IE", (2, 3)),
     (r"Trident/.*rv[ :](\d+)\.(\d+)", "IE", (1, 2)),
-    # crawlers
-    (r"(Googlebot)/(\d+)\.(\d+)", None, (2, 3)),
-    (r"(bingbot)/(\d+)\.(\d+)", None, (2, 3)),
+    # iOS in-app UIWebView/WKWebView: AppleWebKit with no trailing
+    # Safari token (uap-core's dedicated entry; no version)
+    (
+        r"(?:iPod|iPhone|iPad).*AppleWebKit(?!.*Safari)",
+        "Mobile Safari UI/WKWebView",
+        (),
+    ),
     # programmatic clients / CLI tools
     (r"(curl)/(\d+)\.(\d+)(?:\.(\d+))?", None, (2, 3, 4)),
     (r"(Wget)/(\d+)\.(\d+)(?:\.(\d+))?", None, (2, 3, 4)),
@@ -97,6 +176,8 @@ UA_PATTERNS: list[tuple[str, str | None, tuple[int, ...]]] = [
 def _version(x: Column, pat: str, groups: tuple[int, ...]) -> Column:
     # ToVersionString: join major.minor.patch with '.', skipping empty
     # components (concat_ws skips nulls; unmatched groups extract '')
+    if not groups:
+        return F.lit("")
     parts = [
         F.nullif(F.regexp_extract(x, pat, g), F.lit("")) for g in groups
     ]

@@ -228,6 +228,134 @@ def _stage_resource_detect(df, spark, sf_dir, cfg):
     return processors.resource_detect(df, dets)
 
 
+# --- training-data stages (functions/) — the corpus-prep ops exposed
+# with the same declarative shape as the collector operators, so one
+# config can express "clean → dedup → sample → shuffle → pack" as a
+# stage list (the reference's operator-DAG idiom applied to the
+# data-pipeline tier). All thresholds/keys come from the stage dict.
+
+
+def _stage_quality_gate(df, spark, sf_dir, cfg):
+    from ..functions import text as tx
+
+    df = tx.quality_score(df, col=cfg.get("col", "text"))
+    return df.filter(F.col("quality") >= cfg.get("min_quality", 0.5))
+
+
+def _stage_lang_gate(df, spark, sf_dir, cfg):
+    from ..functions import text as tx
+
+    df = tx.lang_id(df, col=cfg.get("col", "text"))
+    return df.filter(F.col("pred_lang") == cfg.get("keep_lang", "en"))
+
+
+def _stage_gopher_gates(df, spark, sf_dir, cfg):
+    from ..functions import text as tx
+
+    kw = {
+        k: cfg[k]
+        for k in (
+            "min_words", "max_words", "max_symbol_word_ratio",
+            "max_bullet_line_frac", "max_ellipsis_line_frac",
+            "min_alpha_word_frac",
+        )
+        if k in cfg
+    }
+    df = tx.gopher_gates(df, col=cfg.get("col", "text"), **kw)
+    return df.filter(F.col("gopher_ok")) if cfg.get("drop", True) else df
+
+
+def _stage_repetition_gates(df, spark, sf_dir, cfg):
+    from ..functions import text as tx
+
+    reps = tx.repetition_signals(
+        df, col=cfg.get("col", "text"), id_col=cfg.get("id_col", "doc_id")
+    )
+    cond = F.lit(True)
+    for key, col in (
+        ("max_dup_line_frac", "dup_line_frac"),
+        ("max_dup_line_char_frac", "dup_line_char_frac"),
+        ("max_top2gram_frac", "top2gram_char_frac"),
+        ("max_top3gram_frac", "top3gram_char_frac"),
+        ("max_top4gram_frac", "top4gram_char_frac"),
+        ("max_dup5gram_frac", "dup5gram_char_frac"),
+        ("max_dup10gram_frac", "dup10gram_char_frac"),
+    ):
+        if key in cfg:
+            cond = cond & (F.col(col) <= cfg[key])
+    keep = reps.filter(cond).select(cfg.get("id_col", "doc_id"))
+    return df.join(keep, cfg.get("id_col", "doc_id"), "left_semi")
+
+
+def _stage_dedup_exact(df, spark, sf_dir, cfg):
+    # keep-min-id exact dedup (same normalization as
+    # functions.dedup.exact_dedup, but row-preserving so the stage
+    # composes: the frame flows on with all its columns)
+    id_col = cfg.get("id_col", "doc_id")
+    h = F.md5(
+        F.lower(F.regexp_replace(F.col(cfg.get("col", "text")), r"\s+", " "))
+    )
+    hashed = df.withColumn("_h", h)
+    keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, ["_h", id_col]).drop("_h")
+
+
+def _stage_dedup_minhash(df, spark, sf_dir, cfg):
+    from ..functions import dedup as dd
+
+    id_col = cfg.get("id_col", "doc_id")
+    sh = dd.shingles(
+        df, w=cfg.get("shingle_w", 3), col=cfg.get("col", "text"),
+        id_col=id_col, distinct=False,
+    )
+    sigs = dd.minhash_signatures(sh, k=cfg.get("minhash_k", 12), id_col=id_col)
+    pairs = dd.lsh_pairs(
+        sigs, k=cfg.get("minhash_k", 12), bands=cfg.get("lsh_bands", 4)
+    )
+    drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
+def _stage_sample(df, spark, sf_dir, cfg):
+    from ..functions import sampling as sp
+
+    key = cfg.get("key", "doc_id")
+    if "strata_col" in cfg:
+        return sp.stratified_sample(
+            df, cfg["strata_col"], k=cfg.get("k"),
+            fractions=cfg.get("fractions"), key=key,
+            seed=cfg.get("seed", 0),
+        )
+    return sp.exact_sample(
+        df, cfg["k"], key, seed=cfg.get("seed", 0),
+        large_k=cfg.get("large_k", False),
+        materialize=cfg.get("materialize", False),
+    )
+
+
+def _stage_global_shuffle(df, spark, sf_dir, cfg):
+    from ..functions import sampling as sp
+
+    return sp.global_shuffle(
+        df, cfg.get("key", "doc_id"), seed=cfg.get("seed", 0),
+        num_partitions=cfg.get("num_partitions"),
+    )
+
+
+def _stage_pack(df, spark, sf_dir, cfg):
+    from ..functions import packing as pk
+    from ..functions import text as tx
+
+    tokens_col = cfg.get("tokens_col", "n_tokens")
+    if tokens_col not in df.columns:
+        df = tx.token_count(df, col=cfg.get("col", "text"), out=tokens_col)
+    return pk.pack_sequences(
+        df, budget=cfg["budget"], tokens_col=tokens_col,
+        id_col=cfg.get("id_col", "doc_id"),
+        num_shards=cfg.get("num_shards", 64), seed=cfg.get("seed", 0),
+    )
+
+
 STAGE_REGISTRY = {
     "resource_detect": _stage_resource_detect,
     "regex_parser": _stage_regex_parser,
@@ -250,6 +378,16 @@ STAGE_REGISTRY = {
     "ottl": _stage_ottl,
     "filter": _stage_filter,
     "redact": _stage_redact,
+    # training-data tier
+    "quality_gate": _stage_quality_gate,
+    "lang_gate": _stage_lang_gate,
+    "gopher_gates": _stage_gopher_gates,
+    "repetition_gates": _stage_repetition_gates,
+    "dedup_exact": _stage_dedup_exact,
+    "dedup_minhash": _stage_dedup_minhash,
+    "sample": _stage_sample,
+    "global_shuffle": _stage_global_shuffle,
+    "pack_sequences": _stage_pack,
 }
 
 

@@ -354,6 +354,12 @@ def test_sink_catalog_iceberg_branch(spark, turns, tmp_path):
       * pip index unreachable (``pip download pyiceberg`` → "no
         versions") — and pyiceberg would not provide the Spark runtime
         jar anyway.
+
+    Re-verified 2026-08-17, round 5: DNS still blocked
+    (``repo1.maven.org`` unresolvable via curl and getent); a coursier
+    cache exists (``~/.cache/coursier``) but contains no iceberg
+    artifact and its cached channel is not a public endpoint; no ivy/m2
+    caches; no new jar anywhere on disk; pyiceberg still absent.
     """
     from opentelemetry_collector_contrib_spark.sources import catalog as cat
 
@@ -649,12 +655,44 @@ def test_write_routed_max_megabytes_and_backups(spark, turns, tmp_path):
         # come in under the byte cap
         assert os.path.getsize(f) <= 1 << 20
 
+    # max_backups must NEVER delete the current write's own files, even
+    # when the write legitimately emits more part-files than the bound
+    # (lumberjack prunes only older rotated generations, never the live
+    # file) — regression for the round-4 defect where fresh data was
+    # silently pruned
     paths2 = connectors.write_routed(
         tagged, {"all": ["only"]}, str(tmp_path / "bk"),
         files_per_sink=4, max_backups=2,
     )
     kept = glob.glob(paths2["only"] + "/part-*")
-    assert len(kept) == 2  # pruned from 4; retention bound, by design
+    assert len(kept) == 4  # all current-generation files survive
+    total2 = sum(spark.read.parquet(f).count() for f in kept)
+    assert total2 == turns.count()
+
+    # prior-generation files (present before the write) ARE pruned to
+    # the N newest — exercised directly since an overwrite write clears
+    # the directory itself
+    import time as _time
+
+    gen_dir = tmp_path / "gen"
+    gen_dir.mkdir()
+    old = []
+    for i in range(3):
+        p = gen_dir / f"part-old-{i}.parquet"
+        p.write_bytes(b"x")
+        os.utime(p, (1000 + i, 1000 + i))
+        old.append(str(p))
+    new = gen_dir / "part-new-0.parquet"
+    new.write_bytes(b"y")
+    os.utime(new, (_time.time(), _time.time()))
+    # snapshot = what existed "before the write"; exclude the file the
+    # current write produced (paths as the Hadoop API reports them)
+    pre = connectors._snapshot_parts(spark, [str(gen_dir)])
+    assert len(pre) == 4
+    pre = {p for p in pre if "part-new" not in p}
+    connectors._prune_backups(spark, [str(gen_dir)], 1, pre)
+    left = sorted(os.path.basename(p) for p in glob.glob(str(gen_dir / "part-*")))
+    assert left == ["part-new-0.parquet", "part-old-2.parquet"]
 
 
 def test_sink_catalog_iceberg_invocation_chain(spark, turns):
