@@ -60,15 +60,19 @@ HEADLINE = [
     "otlpjson_envelope",
     "ann_ivf_topk",
     "repetition_signals",
+    "decontamination",
+    "semdedup",
 ]
 
 #: the 19 queries benched since round 3 — their subtotal is emitted as
 #: ``comparable_19_total`` so cross-round comparison (r3 36.30s,
 #: r4 33.93s on this subset) needs no manual arithmetic. The three
 #: round-4 additions (pack_sequences, ann_ivf_topk, repetition_signals)
-#: are excluded by construction.
+#: are excluded by construction, as are the round-5 additions
+#: (decontamination, semdedup).
 COMPARABLE_19 = [n for n in HEADLINE if n not in (
-    "pack_sequences", "ann_ivf_topk", "repetition_signals")]
+    "pack_sequences", "ann_ivf_topk", "repetition_signals",
+    "decontamination", "semdedup")]
 
 
 def _exec(df) -> int:

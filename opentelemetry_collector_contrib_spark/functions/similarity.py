@@ -32,6 +32,7 @@ __all__ = [
     "ann_ivf_topk",
     "train_ivf_centroids",
     "near_dup_pairs",
+    "semdedup",
 ]
 
 
@@ -309,3 +310,78 @@ def ann_ivf_topk(
         .select("q_id", id_col, "sim")
     )
     return _topk_per_query(scored, id_col=id_col, k=k)
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    cluster: Column | None = None,
+    nlist: int = 16,
+    iters: int = 2,
+    seed: int = 0,
+    centroids: list[list[float]] | None = None,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space coarsely, then inside each cluster drop points whose
+    cosine similarity to a surviving point exceeds ``threshold``.
+
+    Keep rule: a point is DROPPED iff some point with a SMALLER id in
+    the same cluster is >= ``threshold`` similar to it. This dominance
+    rule is deterministic and join-expressible (the paper's sequential
+    greedy sweep is order-dependent and inherently serial per cluster);
+    it keeps at least one representative of every near-duplicate group
+    (the minimum id) and upper-bounds the paper's removal set.
+
+    Clustering: pass ``cluster`` (any deterministic Column over the
+    row, e.g. :func:`lsh_bucket`) to block on it directly, or leave it
+    None to use the IVF spherical k-means quantizer (nprobe=1 cell
+    assignment, same index the ANN path builds — train once, use for
+    both search and dedup).
+
+    Scale shape: the only width increase is the within-cluster
+    self-equi-join on the cluster key — O(sum of cluster_size^2) exact
+    cosines, never the O(n^2) cross join. Clusters larger than
+    ``max_cluster_size`` (when set) are EXCLUDED from the pair join and
+    their members all kept — the same hot-partition cap the LSH dedup
+    family uses (``max_band_size``); at 100 TB a runaway cluster means
+    the quantizer needs more lists, not a bigger shuffle. Returns the
+    kept rows as (id, cluster) — re-join to the corpus by id for the
+    full rows (broadcast- or hash-join on the key, no second scan of
+    the vectors).
+    """
+    if cluster is None:
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                emb, id_col=id_col, vec_col=vec_col, nlist=nlist,
+                iters=iters, seed=seed,
+            )
+        assign1 = _centroid_assign_udf(centroids, nprobe=1)
+        cluster = F.element_at(assign1(F.col(vec_col)), 1).cast("string")
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), cluster.cast("string").alias("cell")
+    )
+    if max_cluster_size is not None:
+        sizes = bucketed.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
+        bucketed = bucketed.join(F.broadcast(sizes), "cell")
+        joinable = bucketed.filter(F.col("_csz") <= max_cluster_size)
+    else:
+        joinable = bucketed
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+        )
+        .filter(cosine(f"a.{vec_col}", f"b.{vec_col}") >= F.lit(float(threshold)))
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        bucketed.join(dropped, id_col, "left_anti").select(id_col, "cell")
+    )

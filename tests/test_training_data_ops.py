@@ -309,3 +309,142 @@ def test_ann_ivf_plan_shape(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# round 5: benchmark decontamination + SemDeDup
+# ---------------------------------------------------------------------------
+
+from opentelemetry_collector_contrib_spark.functions import decontam as dc  # noqa: E402
+
+
+def test_contamination_report_counts(spark):
+    """Hand-computed: doc 1 shares exactly one 3-gram with the eval set,
+    doc 2 shares none, doc 3 is a verbatim eval member (fully dirty)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # 3-grams: abg, bgd
+            (2, "one two three four"),              # disjoint
+            (3, "alpha beta gamma"),                # == eval doc
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in dc.contamination_report(corpus, eval_docs, n=3).collect()
+    }
+    assert rep[1]["n_ngrams"] == 2 and rep[1]["n_contaminated"] == 1
+    assert rep[1]["contamination"] == pytest.approx(0.5)
+    assert rep[1]["contaminated"] is True
+    assert rep[2]["n_contaminated"] == 0 and rep[2]["contaminated"] is False
+    assert rep[3]["contamination"] == pytest.approx(1.0)
+
+
+def test_decontaminate_keeps_schema_and_clean_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en"),
+            (2, "one two three four", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    out = dc.decontaminate(corpus, eval_docs, n=3)
+    assert out.columns == corpus.columns
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_contamination_min_hits_threshold(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    rep = dc.contamination_report(corpus, eval_docs, n=3, min_hits=2).collect()[0]
+    assert rep["n_contaminated"] == 1 and rep["contaminated"] is False
+
+
+def test_contamination_eval_side_broadcast(spark):
+    """The eval n-gram set must reach the corpus via a broadcast join —
+    the corpus side never shuffles for the collision probe."""
+    corpus = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    eval_docs = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    plan = dc.contamination_report(corpus, eval_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semdedup_explicit_cluster_dominance_rule(spark):
+    """Same-cluster near-dups: every id dominated by a smaller similar id
+    drops; the minimum id of each group survives; cross-cluster
+    duplicates both survive (blocking is intentional, SemDeDup §3)."""
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, v), (2, v), (5, v),       # cluster c1 triple dup -> keep 1
+        (3, w),                        # c1, orthogonal -> kept
+        (4, v),                        # cluster c2 dup of 1, other block -> kept
+    ]
+    emb = _emb(spark, rows).withColumn(
+        "cl", F.when(F.col("vec_id") == 4, "c2").otherwise("c1")
+    )
+    kept = sim.semdedup(emb, cluster=F.col("cl"), threshold=0.95)
+    assert {r["vec_id"] for r in kept.collect()} == {1, 3, 4}
+
+
+def test_semdedup_max_cluster_size_cap(spark):
+    """Clusters above the cap are excluded from the pair join: all their
+    members are kept (the LSH family's hot-band escape hatch)."""
+    v = [1.0, 0.0]
+    rows = [(i, v) for i in range(1, 5)]          # one cluster of 4 dups
+    emb = _emb(spark, rows).withColumn("cl", F.lit("hot"))
+    kept = sim.semdedup(emb, cluster=F.col("cl"), threshold=0.9,
+                        max_cluster_size=3)
+    assert {r["vec_id"] for r in kept.collect()} == {1, 2, 3, 4}
+    kept2 = sim.semdedup(emb, cluster=F.col("cl"), threshold=0.9,
+                         max_cluster_size=10)
+    assert {r["vec_id"] for r in kept2.collect()} == {1}
+
+
+def test_semdedup_ivf_cluster_path(spark):
+    """cluster=None trains the IVF spherical k-means quantizer; exact
+    duplicates land in the same cell and dedup to the min id."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=8); a /= np.linalg.norm(a)
+    b = rng.normal(size=8); b /= np.linalg.norm(b)
+    rows = [(1, a.tolist()), (2, a.tolist()), (3, b.tolist()), (4, b.tolist())]
+    kept = sim.semdedup(_emb(spark, rows), threshold=0.99, nlist=2, seed=3)
+    assert {r["vec_id"] for r in kept.collect()} == {1, 3}
+
+
+def test_semdedup_no_cartesian_product(spark):
+    """The within-cluster pair probe must be an equi-join on the cluster
+    key, never a cartesian/nested-loop product."""
+    v = [1.0, 0.0]
+    emb = _emb(spark, [(i, v) for i in range(1, 4)]).withColumn(
+        "cl", F.when(F.col("vec_id") < 100, "c").otherwise("d")
+    )
+    kept = sim.semdedup(emb, cluster=F.col("cl"), threshold=0.9)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_deterministic(spark):
+    emb = docsrc.embeddings_df(spark, "/root/testdata/sf0.001")
+    k1 = sorted(r["vec_id"] for r in sim.semdedup(
+        emb, cluster=sim.lsh_bucket("embedding"), threshold=0.28).collect())
+    k2 = sorted(r["vec_id"] for r in sim.semdedup(
+        emb, cluster=sim.lsh_bucket("embedding"), threshold=0.28).collect())
+    assert k1 == k2 and len(k1) > 0
