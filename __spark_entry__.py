@@ -615,6 +615,7 @@ from opentelemetry_collector_contrib_spark.functions import (  # noqa: E402
     multimodal as mm,
     similarity as sim,
     text as tx,
+    weighting as wt,
 )
 from opentelemetry_collector_contrib_spark.sources import documents as docsrc  # noqa: E402
 
@@ -648,6 +649,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = docsrc.embeddings_df(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)
     return sim.ann_bruteforce_topk(emb, queries_df, k=ANN_K)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force + LSH-bucketed top-k in one board row, tagged by
+    method (each was a standalone row through round 4; FOLDED round 5
+    to free a slot for dsir_weights — both result sets stay fully
+    oracle-checked via the tagged union)."""
+    brute = q_ann_cosine_topk(spark, sf_dir).withColumn(
+        "method", F.lit("brute")
+    )
+    lsh = q_ann_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    return brute.unionByName(lsh)
 
 
 CORPUS_MIN_QUALITY = 0.5
@@ -904,6 +917,24 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=SEMDEDUP_THRESHOLD,
     )
     return kept.select("vec_id", "cell")
+
+
+#: every 13th document plays the high-quality target distribution for
+#: the DSIR driver row (deterministic slice, disjoint modulus from the
+#: decontamination eval slice so the two rows stress different subsets)
+DSIR_TARGET_MOD = 13
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) of the documents
+    corpus against a deterministic target slice
+    (functions/weighting.py). The md5-prefix bucketing makes the whole
+    hashed-n-gram likelihood-ratio model SQL-replayable; the Gumbel
+    resampling step is seeded-hash deterministic and covered by
+    pytest (not SQL-expressible, same split as sample_invariants)."""
+    docs = docsrc.documents_df(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    return wt.dsir_logweights(docs, target)
 
 
 SAMPLE_K, SAMPLE_FRAC, PACK_BUDGET, PACK_SHARDS = 30, 0.2, 64, 8
@@ -1363,8 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_topk": q_ann_topk,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "corpus_clean": q_corpus_clean,
         "text_stats": q_text_stats,
@@ -1373,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "decontamination": q_decontamination,
         "semdedup": q_semdedup,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -1872,10 +1903,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM bk a JOIN bk b ON a.b = b.b AND a.vec_id < b.vec_id "
             "ORDER BY sim DESC, vec_a, vec_b LIMIT 20"
         ),
-        "ann_cosine_topk": _ANN_TOPK_SQL.format(extra=""),
-        "ann_lsh_topk": _ANN_TOPK_SQL.format(
-            extra=" AND " + _BUCKET_BITS.format(v="e.embedding")
-            + " = " + _BUCKET_BITS.format(v="q.q_raw")
+        "ann_topk": (
+            "SELECT 'brute' AS method, * FROM ("
+            + _ANN_TOPK_SQL.format(extra="")
+            + ") UNION ALL SELECT 'lsh' AS method, * FROM ("
+            + _ANN_TOPK_SQL.format(
+                extra=" AND " + _BUCKET_BITS.format(v="e.embedding")
+                + " = " + _BUCKET_BITS.format(v="q.q_raw")
+            )
+            + ")"
+        ),
+        "dsir_weights": (
+            f"WITH {_TOKS_CTE}, "
+            "terms AS (SELECT doc_id, unnest(list_concat(t, "
+            "list_transform(generate_series(1, greatest(len(t) - 1, 1)), "
+            "i -> array_to_string(t[i:i+1], ' ')))) AS term FROM toks), "
+            "tf AS (SELECT doc_id, left(md5(term), 2) AS bucket "
+            "FROM terms WHERE term <> ''), "
+            "cr AS (SELECT bucket, count(*) AS c_raw FROM tf GROUP BY bucket), "
+            "ct AS (SELECT bucket, count(*) AS c_tgt FROM tf "
+            f"WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY bucket), "
+            "lam AS (SELECT cr.bucket, "
+            "ln((coalesce(ct.c_tgt, 0) + 1.0) / "
+            "((SELECT coalesce(sum(c_tgt), 0) FROM ct) + 256.0)) - "
+            "ln((cr.c_raw + 1.0) / ((SELECT sum(c_raw) FROM cr) + 256.0)) "
+            "AS lam FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket) "
+            "SELECT tf.doc_id, count(*) AS n_terms, sum(lam.lam) AS logw, "
+            "sum(lam.lam) / count(*) AS avg_logw "
+            "FROM tf JOIN lam ON tf.bucket = lam.bucket GROUP BY tf.doc_id"
         ),
         "text_stats": (
             f"WITH {_TOKS_CTE}, "

@@ -62,6 +62,7 @@ HEADLINE = [
     "repetition_signals",
     "decontamination",
     "semdedup",
+    "dsir_weights",
 ]
 
 #: the 19 queries benched since round 3 — their subtotal is emitted as
@@ -69,10 +70,10 @@ HEADLINE = [
 #: r4 33.93s on this subset) needs no manual arithmetic. The three
 #: round-4 additions (pack_sequences, ann_ivf_topk, repetition_signals)
 #: are excluded by construction, as are the round-5 additions
-#: (decontamination, semdedup).
+#: (decontamination, semdedup, dsir_weights).
 COMPARABLE_19 = [n for n in HEADLINE if n not in (
     "pack_sequences", "ann_ivf_topk", "repetition_signals",
-    "decontamination", "semdedup")]
+    "decontamination", "semdedup", "dsir_weights")]
 
 
 def _exec(df) -> int:
@@ -92,6 +93,10 @@ def run_bench(spark: SparkSession, sf_dir: str, names=None) -> dict[str, float]:
     # oracle-replayable); the BENCH number stays the honest ANN setting
     # (nprobe=4 < nlist=16) and comparable with rounds 3-4
     qs["ann_ivf_topk"] = e.q_ann_ivf_bench
+    # the board folded brute+LSH top-k into one tagged union (ann_topk);
+    # the BENCH number stays the standalone brute-force query so the
+    # cross-round comparable subtotal keeps its meaning
+    qs.setdefault("ann_cosine_topk", e.q_ann_cosine_topk)
     names = [n for n in (names or HEADLINE) if n in qs]
     times: dict[str, float] = {}
     for name in names:

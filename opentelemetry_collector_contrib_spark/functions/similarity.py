@@ -365,8 +365,12 @@ def semdedup(
         F.col(id_col), F.col(vec_col), cluster.cast("string").alias("cell")
     )
     if max_cluster_size is not None:
+        # per-cell counts: one row per DISTINCT cell. No forced
+        # broadcast — coarse quantizers (IVF nlist, 2^planes LSH) yield
+        # few cells and AQE broadcasts them anyway, but a caller-supplied
+        # fine-grained cluster key could make this frame driver-hostile
         sizes = bucketed.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
-        bucketed = bucketed.join(F.broadcast(sizes), "cell")
+        bucketed = bucketed.join(sizes, "cell")
         joinable = bucketed.filter(F.col("_csz") <= max_cluster_size)
     else:
         joinable = bucketed
