@@ -342,6 +342,99 @@ def _stage_global_shuffle(df, spark, sf_dir, cfg):
     )
 
 
+def _stage_decontaminate(df, spark, sf_dir, cfg):
+    """Remove documents colliding with an eval set on long word
+    n-grams (functions/decontam.py). The eval side is either a filter
+    over the flowing frame (``eval_where`` SQL string) or an external
+    parquet of (id, text) (``eval_path``)."""
+    from ..functions import decontam as dc
+
+    if "eval_path" in cfg:
+        eval_docs = spark.read.parquet(cfg["eval_path"])
+    else:
+        eval_docs = df.filter(F.expr(cfg["eval_where"]))
+    return dc.decontaminate(
+        df, eval_docs, col=cfg.get("col", "text"),
+        id_col=cfg.get("id_col", "doc_id"), n=cfg.get("n", 8),
+        min_hits=cfg.get("min_hits", 1),
+    )
+
+
+def _stage_semdedup(df, spark, sf_dir, cfg):
+    """Drop near-duplicate embeddings within coarse clusters
+    (functions/similarity.py:semdedup). Requires the embedding column
+    on the flowing frame (join it upstream with an ``enrich`` stage or
+    carry it from the source)."""
+    from ..functions import similarity as sim
+
+    id_col = cfg.get("id_col", "doc_id")
+    vec_col = cfg.get("vec_col", "embedding")
+    if vec_col not in df.columns:
+        raise ValueError(
+            f"semdedup stage needs column {vec_col!r} on the frame; "
+            f"have {df.columns}"
+        )
+    cluster = (
+        sim.lsh_bucket(vec_col, planes=cfg["planes"])
+        if "planes" in cfg else None
+    )
+    kept = sim.semdedup(
+        df, id_col=id_col, vec_col=vec_col,
+        threshold=cfg.get("threshold", 0.95), cluster=cluster,
+        nlist=cfg.get("nlist", 16), seed=cfg.get("seed", 0),
+        max_cluster_size=cfg.get("max_cluster_size"),
+    )
+    return df.join(kept.select(id_col), id_col, "left_semi")
+
+
+def _stage_dsir_select(df, spark, sf_dir, cfg):
+    """DSIR importance-resample ``k`` rows toward a target distribution
+    (functions/weighting.py). Target = ``target_where`` filter over the
+    frame or an external ``target_path`` parquet of (id, text)."""
+    from ..functions import weighting as wt
+
+    id_col = cfg.get("id_col", "doc_id")
+    if "target_path" in cfg:
+        target = spark.read.parquet(cfg["target_path"])
+    else:
+        target = df.filter(F.expr(cfg["target_where"]))
+    weights = wt.dsir_logweights(
+        df, target, col=cfg.get("col", "text"), id_col=id_col,
+        bucket_prefix=cfg.get("bucket_prefix", 2),
+        alpha=cfg.get("alpha", 1.0),
+    )
+    picked = wt.importance_resample(
+        weights, cfg["k"], id_col=id_col, seed=cfg.get("seed", 0),
+        temperature=cfg.get("temperature", 1.0),
+    )
+    return df.join(picked.select(id_col), id_col, "left_semi")
+
+
+#: published-recipe PII patterns (the C4/RefinedWeb-style scrub):
+#: order matters — emails before bare domains would, e.g., matter if a
+#: domain rule existed; each is a (java_regex, replacement) pair
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3}[-. ]\d{3,4}[-. ]?\d{0,4}\b",
+     "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:sk|pk|api|key|token)[-_][A-Za-z0-9]{16,}\b", "<KEY>"),
+]
+
+
+def _stage_pii_scrub(df, spark, sf_dir, cfg):
+    """Mask common PII in the text column — emails, phone numbers,
+    IPv4s, SSN-shaped ids, API-key-shaped tokens. Pure chained
+    ``regexp_replace`` (JVM, codegen) so the scrub rides the same scan
+    as its neighbors; pass ``patterns`` to override the default list."""
+    col = cfg.get("col", "text")
+    out = F.col(col)
+    for pat, repl in cfg.get("patterns", PII_PATTERNS):
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(col, out)
+
+
 def _stage_pack(df, spark, sf_dir, cfg):
     from ..functions import packing as pk
     from ..functions import text as tx
@@ -385,6 +478,10 @@ STAGE_REGISTRY = {
     "repetition_gates": _stage_repetition_gates,
     "dedup_exact": _stage_dedup_exact,
     "dedup_minhash": _stage_dedup_minhash,
+    "decontaminate": _stage_decontaminate,
+    "semdedup": _stage_semdedup,
+    "dsir_select": _stage_dsir_select,
+    "pii_scrub": _stage_pii_scrub,
     "sample": _stage_sample,
     "global_shuffle": _stage_global_shuffle,
     "pack_sequences": _stage_pack,

@@ -461,3 +461,88 @@ def test_config_pipeline_sample_shuffle_pack(spark, sf_dir):
     for r in rows:
         # a bin over budget may only be a single oversized doc
         assert r["total_tokens"] <= 256 or r["n_docs"] == 1
+
+
+def test_config_pipeline_hygiene_stages(spark, sf_dir):
+    """decontaminate + dsir_select + pii_scrub as declarative stages:
+    each must match the direct function-call result."""
+    from opentelemetry_collector_contrib_spark.functions import (
+        decontam as dc,
+        weighting as wt,
+    )
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+    from opentelemetry_collector_contrib_spark.sources import (
+        documents as docsrc,
+    )
+
+    docs = docsrc.documents_df(spark, sf_dir)
+    cfg = {
+        "processors": [
+            {"type": "pii_scrub"},
+            {"type": "decontaminate", "eval_where": "doc_id % 17 = 0",
+             "n": 3},
+            {"type": "dsir_select", "target_where": "doc_id % 13 = 0",
+             "k": 25, "seed": 2},
+        ]
+    }
+    out, sinks = config_pipeline.build_from_config(
+        spark, sf_dir, cfg, source=docs
+    )
+    assert sinks == {}
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+
+    scrubbed = docs
+    col = F.col("text")
+    for pat, repl in config_pipeline.PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    scrubbed = docs.withColumn("text", col)
+    clean = dc.decontaminate(
+        scrubbed, scrubbed.filter(F.expr("doc_id % 17 = 0")), n=3
+    )
+    weights = wt.dsir_logweights(
+        clean, clean.filter(F.expr("doc_id % 13 = 0"))
+    )
+    picked = wt.importance_resample(weights, 25, seed=2)
+    want = sorted(r["doc_id"] for r in picked.select("doc_id").collect())
+    assert got == want and len(got) == 25
+
+
+def test_config_pipeline_pii_scrub_masks(spark):
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com ip 10.1.2.3 ssn 123-45-6789 "
+             "key sk_abcdefghij0123456789 call 555-123-4567")],
+        ["doc_id", "text"],
+    )
+    out, _ = config_pipeline.build_from_config(
+        spark, "", {"processors": [{"type": "pii_scrub"}]}, source=df
+    )
+    text = out.collect()[0]["text"]
+    for token in ("<EMAIL>", "<IP>", "<SSN>", "<KEY>", "<PHONE>"):
+        assert token in text, text
+    for leak in ("bob@", "10.1.2.3", "123-45-6789", "abcdefghij"):
+        assert leak not in text, text
+
+
+def test_config_pipeline_semdedup_stage(spark):
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v, "a"), (2, v, "b"), (3, w, "c")],
+        ["doc_id", "embedding", "text"],
+    )
+    cfg = {"processors": [
+        {"type": "semdedup", "planes": 2, "threshold": 0.95},
+    ]}
+    out, _ = config_pipeline.build_from_config(spark, "", cfg, source=df)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    assert set(out.columns) == {"doc_id", "embedding", "text"}
+    with pytest.raises(ValueError, match="needs column"):
+        config_pipeline.build_from_config(
+            spark, "",
+            {"processors": [{"type": "semdedup"}]},
+            source=df.drop("embedding"),
+        )
