@@ -36,7 +36,7 @@ CTE mirrors it).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import TOKEN_RE
 
@@ -119,14 +119,21 @@ def dsir_logweights(
     )
     raw_counts = corpus_tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
     tgt_counts = target_tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
-    # grand totals: one-row frames, cross-joined onto the ≤B-row count
-    # frames (Catalyst broadcasts both sides of these tiny joins)
-    raw_total = raw_counts.agg(F.sum("c_raw").alias("t_raw"))
-    tgt_total = tgt_counts.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t_tgt"))
+    # grand totals as WINDOW sums over the ≤B-row count frames — a
+    # separate .agg() total would re-execute the whole count subtree
+    # (scan included; Catalyst gives no ReusedExchange guarantee).
+    # t_tgt must total over ALL target buckets, so it is attached on
+    # the target side BEFORE the left join (a post-join sum would drop
+    # target-only buckets), then spread to unmatched rows via a max
+    # window (constant within the frame; 0 when the target is empty).
+    # WindowExec's single-partition warning is expected and harmless
+    # here: the windowed frames are bounded at B rows by construction.
+    wall = Window.partitionBy()
+    raw_w = raw_counts.withColumn("t_raw", F.sum("c_raw").over(wall))
+    tgt_w = tgt_counts.withColumn("t_tgt", F.sum("c_tgt").over(wall))
     lam = (
-        raw_counts.join(tgt_counts, "bucket", "left")
-        .crossJoin(raw_total)
-        .crossJoin(tgt_total)
+        raw_w.join(tgt_w, "bucket", "left")
+        .withColumn("t_tgt", F.coalesce(F.max("t_tgt").over(wall), F.lit(0)))
         .select(
             "bucket",
             (
