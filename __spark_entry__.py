@@ -645,6 +645,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_topk_pairs(sh, topk=20)
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-only (the driver board is capped at 50 slots): C4 three-
+    sentence-span dedup (Raffel et al. 2020 §2.2) rewriting documents.
+    Oracle parity is pytest-enforced against an equivalent DuckDB query
+    (tests/test_training_data_ops.py::test_span_dedup_matches_duckdb_oracle)
+    with the same compare harness the driver uses."""
+    return dd.span_dedup(docsrc.documents_df(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = docsrc.embeddings_df(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)

@@ -40,6 +40,7 @@ __all__ = [
     "lsh_pairs",
     "simhash",
     "jaccard_topk_pairs",
+    "span_dedup",
 ]
 
 
@@ -233,4 +234,106 @@ def jaccard_topk_pairs(
         scored.orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(topk)
         .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+# C4 sentence-span dedup (Raffel et al. 2020, §2.2: "we discard all but
+# one of any three-sentence span occurring more than once in the data
+# set"). Unlike the whole-document families above, this REWRITES
+# documents: the first occurrence of a span (global order by doc id,
+# then position) survives; every later occurrence has its sentences
+# removed and the document is reassembled from the survivors.
+_SENT_SEP = "\x01"
+
+
+def _sentence_array(col):
+    """Split text into sentences with an RE2-portable two-step (mark a
+    separator after sentence-final punctuation + space, then split) —
+    no lookbehind, so the DuckDB oracle replays the exact boundaries
+    with regexp_replace(.., '\\1' || chr(1), 'g') + string_split."""
+    return F.split(F.regexp_replace(col, r"([.!?]) ", "$1" + _SENT_SEP), _SENT_SEP)
+
+
+def span_dedup(
+    df: DataFrame,
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 3,
+) -> DataFrame:
+    """Remove every repeated ``span``-sentence window corpus-wide, keeping
+    the first occurrence; returns rewritten documents.
+
+    Output: one row per document that keeps >=1 sentence —
+    ``(id_col, clean_text, n_kept, n_removed)``. A document whose every
+    sentence is covered by later-occurrence spans disappears (C4 drops
+    emptied pages).
+
+    Determinism: "first occurrence" is the minimum ``(doc id, start
+    position)`` per span hash — a total order, so the survivor set is
+    identical at any parallelism and under task retries (no rand, no
+    arbitrary first()).
+
+    Scale shape (100 TB):
+
+      * span table = one scan + one ``posexplode`` — O(sentences) rows
+        carrying a 32-char md5, not the span text;
+      * first-occurrence rule = ONE shuffle keyed on the span hash
+        (row_number window; hash keys are uniform, no skew);
+      * covered-position sets fold to <=1 row/doc (collect_set after a
+        map-side-combined distinct), joined back to the per-doc sentence
+        ARRAY — the rewrite is a higher-order-function filter + concat,
+        never a re-explode + order-sensitive re-aggregation;
+      * total: two scans of the corpus (inherent barrier — the global
+        span table must exist before any document can be rewritten) and
+        two shuffles (span window, doc join).
+    """
+    if span < 1:
+        raise ValueError("span must be >= 1")
+    sents = df.select(id_col, _sentence_array(F.col(col)).alias("_s"))
+    # per-(doc, start) span hashes; docs with < span sentences emit none
+    span_hashes = F.when(
+        F.size("_s") >= span,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_s") - (span - 1)),
+            lambda i: F.md5(F.lower(F.concat_ws(" ", F.slice("_s", i, span)))),
+        ),
+    )
+    spans = sents.select(
+        id_col, F.posexplode(span_hashes).alias("_p0", "_h")
+    ).select(id_col, (F.col("_p0") + 1).alias("_start"), "_h")
+    first = Window.partitionBy("_h").orderBy(id_col, "_start")
+    covered = (
+        spans.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") > 1)
+        # a duplicate span starting at s covers sentences s .. s+span-1
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + (span - 1))
+            ).alias("_spos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_spos").alias("_cov"))
+    )
+    numbered = F.transform(
+        F.col("_s"), lambda s, i: F.struct((i + 1).alias("p"), s.alias("s"))
+    )
+    kept = F.filter(
+        numbered,
+        lambda x: ~F.array_contains(
+            F.coalesce(F.col("_cov"), F.array().cast("array<int>")), x["p"]
+        ),
+    )
+    return (
+        sents.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.transform(kept, lambda x: x["s"])
+            ).alias("clean_text"),
+            F.size(kept).cast("long").alias("n_kept"),
+            (F.size("_s") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+        .filter(F.col("n_kept") > 0)
     )

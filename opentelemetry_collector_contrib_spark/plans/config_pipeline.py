@@ -435,6 +435,24 @@ def _stage_pii_scrub(df, spark, sf_dir, cfg):
     return df.withColumn(col, out)
 
 
+def _stage_span_dedup(df, spark, sf_dir, cfg):
+    """C4 three-sentence-span dedup (Raffel et al. 2020 §2.2) as a
+    composable stage: REWRITES the text column in place (first global
+    occurrence of a span survives, later ones are cut) and drops
+    documents the rewrite empties. Other columns flow through via the
+    id join."""
+    from ..functions import dedup as dd
+
+    id_col = cfg.get("id_col", "doc_id")
+    col = cfg.get("col", "text")
+    rewritten = dd.span_dedup(
+        df, col=col, id_col=id_col, span=cfg.get("span", 3)
+    )
+    return df.drop(col).join(
+        rewritten.select(id_col, F.col("clean_text").alias(col)), id_col
+    )
+
+
 def _stage_pack(df, spark, sf_dir, cfg):
     from ..functions import packing as pk
     from ..functions import text as tx
@@ -478,6 +496,7 @@ STAGE_REGISTRY = {
     "repetition_gates": _stage_repetition_gates,
     "dedup_exact": _stage_dedup_exact,
     "dedup_minhash": _stage_dedup_minhash,
+    "span_dedup": _stage_span_dedup,
     "decontaminate": _stage_decontaminate,
     "semdedup": _stage_semdedup,
     "dsir_select": _stage_dsir_select,

@@ -546,3 +546,33 @@ def test_config_pipeline_semdedup_stage(spark):
             {"processors": [{"type": "semdedup"}]},
             source=df.drop("embedding"),
         )
+
+
+def test_config_pipeline_span_dedup_stage(spark):
+    from opentelemetry_collector_contrib_spark.functions import dedup as dd
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+
+    dup = "Alpha one. Beta two. Gamma three."
+    df = spark.createDataFrame(
+        [
+            (1, dup + " Tail sentence.", "web"),
+            (2, "Opening line. " + dup + " Different end.", "book"),
+            (3, dup, "web"),
+            (4, "No repeats here. Just two sentences.", "code"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out, sinks = config_pipeline.build_from_config(
+        spark, "", {"processors": [{"type": "span_dedup"}]}, source=df
+    )
+    assert sinks == {}
+    got = {r["doc_id"]: (r["text"], r["source"]) for r in out.collect()}
+    want = {
+        r["doc_id"]: r["clean_text"] for r in dd.span_dedup(df).collect()
+    }
+    # same survivor set and rewritten text as the direct call; the
+    # non-text column (source) flows through the stage intact
+    assert set(got) == set(want) and 3 not in got
+    for doc_id, (text, _src) in got.items():
+        assert text == want[doc_id]
+    assert got[2][1] == "book" and got[4][1] == "code"

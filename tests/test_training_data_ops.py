@@ -448,3 +448,105 @@ def test_semdedup_deterministic(spark):
     k2 = sorted(r["vec_id"] for r in sim.semdedup(
         emb, cluster=sim.lsh_bucket("embedding"), threshold=0.28).collect())
     assert k1 == k2 and len(k1) > 0
+
+
+# --- C4 three-sentence-span dedup (Raffel et al. 2020 §2.2) ---
+
+SPAN_DEDUP_SQL = """
+WITH sents AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'),
+                      chr(1)) AS arr
+  FROM documents
+), sent_rows AS (
+  SELECT doc_id, unnest(arr) AS sent, generate_subscripts(arr, 1) AS spos
+  FROM sents
+), spans AS (
+  SELECT a.doc_id, a.spos AS pos,
+         md5(lower(a.sent || ' ' || b.sent || ' ' || c.sent)) AS h
+  FROM sent_rows a
+  JOIN sent_rows b ON a.doc_id = b.doc_id AND b.spos = a.spos + 1
+  JOIN sent_rows c ON a.doc_id = c.doc_id AND c.spos = a.spos + 2
+), ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM spans
+), covered AS (
+  SELECT DISTINCT r.doc_id, r.pos + o.o AS spos
+  FROM ranked r, (SELECT unnest([0, 1, 2]) AS o) o
+  WHERE r.rn > 1
+), kept AS (
+  SELECT s.doc_id, s.spos, s.sent
+  FROM sent_rows s LEFT JOIN covered c
+    ON s.doc_id = c.doc_id AND s.spos = c.spos
+  WHERE c.doc_id IS NULL
+), totals AS (
+  SELECT doc_id, len(arr)::bigint AS n_tot FROM sents
+)
+SELECT k.doc_id,
+       string_agg(k.sent, ' ' ORDER BY k.spos) AS clean_text,
+       count(*)::bigint AS n_kept,
+       (any_value(t.n_tot) - count(*))::bigint AS n_removed
+FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id
+"""
+
+
+def test_span_dedup_hand_computed(spark):
+    dup = "Alpha one. Beta two. Gamma three."
+    df = spark.createDataFrame(
+        [
+            (1, dup + " Tail sentence."),
+            (2, "Opening line. " + dup + " Different end."),
+            (3, dup),  # fully covered -> document disappears
+            (4, "No repeats here. Just two sentences."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in dd.span_dedup(df).collect()}
+    # doc 1 holds the first occurrence (min doc_id, pos) -> untouched
+    assert out[1]["clean_text"] == dup + " Tail sentence."
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses exactly the three duplicated sentences
+    assert out[2]["clean_text"] == "Opening line. Different end."
+    assert out[2]["n_kept"] == 2 and out[2]["n_removed"] == 3
+    # doc 3 was nothing but the duplicate span -> dropped entirely
+    assert 3 not in out
+    # doc 4 has < 3 sentences worth of spans shared with nobody
+    assert out[4]["n_removed"] == 0
+
+
+def test_span_dedup_first_occurrence_is_position_ordered(spark):
+    # the SAME doc repeats a span twice: the first (lower start pos)
+    # occurrence survives, the second is removed
+    s = "One fish. Two fish. Red fish."
+    df = spark.createDataFrame([(7, s + " Interlude. " + s)], ["doc_id", "text"])
+    out = dd.span_dedup(df).collect()[0]
+    assert out["clean_text"] == s + " Interlude."
+    assert out["n_removed"] == 3
+
+
+def test_span_dedup_parallelism_invariant(spark):
+    df = docsrc.documents_df(spark, "/root/testdata/sf0.001")
+    a = sorted(
+        dd.span_dedup(df.repartition(1)).collect(), key=lambda r: r["doc_id"]
+    )
+    b = sorted(
+        dd.span_dedup(df.repartition(16)).collect(), key=lambda r: r["doc_id"]
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_span_dedup_matches_duckdb_oracle(spark, sf_dir):
+    from tests.oracle_util import compare, duck_con
+
+    con = duck_con(sf_dir)
+    try:
+        ok, msg = compare(
+            dd.span_dedup(docsrc.documents_df(spark, sf_dir)),
+            con,
+            SPAN_DEDUP_SQL,
+        )
+    finally:
+        con.close()
+    assert ok, msg
