@@ -41,6 +41,7 @@ __all__ = [
     "simhash",
     "jaccard_topk_pairs",
     "span_dedup",
+    "duplicate_components",
 ]
 
 
@@ -336,4 +337,71 @@ def span_dedup(
             (F.size("_s") - F.size(kept)).cast("long").alias("n_removed"),
         )
         .filter(F.col("n_kept") > 0)
+    )
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    ``(doc_id, component_id)`` for every vertex, where component_id is
+    the MINIMUM doc id reachable through the pairs.
+
+    Why: near-duplicate relations chain (A~B, B~C) without every pair
+    being emitted (A,C may share no LSH band), so "drop every doc_b"
+    under-drops — it keeps one doc per *edge pattern*, not one per
+    duplicate *cluster*. The canonical corpus-dedup rule (one survivor
+    per component, e.g. the minimum id) needs the transitive closure.
+
+    Algorithm: min-label propagation — l(v) <- min(l(v), min over
+    neighbors' labels) until a fixpoint, the alternating-star
+    simplification that suffices because near-dup components are small
+    and dense (template/boilerplate clusters), so the diameter — the
+    iteration bound — is tiny in practice. Each iteration is ONE
+    edge-label join + ONE min-aggregation (two shuffles) and is
+    ``localCheckpoint``-ed: the plan stays O(1) deep instead of growing
+    by two joins per iteration (lineage blowup is what actually kills
+    iterative jobs at scale). Deterministic: min over ids, no rand.
+
+    Raises after ``max_iters`` without convergence (a pathological
+    chain longer than max_iters — raise the bound for adversarial
+    graphs; components from banded LSH are never that shape).
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    labels = (
+        sym.groupBy("u").agg(F.min("v").alias("c"))
+        .select("u", F.least("u", "c").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), F.col("c")), "v"
+            ).select("u", "c")
+        )
+        new = (
+            labels.union(neighbor)
+            .groupBy("u")
+            .agg(F.min("c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.c") != F.col("o.c"))
+            .count()
+        )
+        old = labels
+        labels = new
+        old.unpersist()
+        if changed == 0:
+            return labels.select(F.col("u").alias("doc_id"), F.col("c").alias("component_id"))
+    raise RuntimeError(
+        f"duplicate_components did not converge in {max_iters} iterations"
     )

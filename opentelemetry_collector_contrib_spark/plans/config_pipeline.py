@@ -312,7 +312,16 @@ def _stage_dedup_minhash(df, spark, sf_dir, cfg):
     pairs = dd.lsh_pairs(
         sigs, k=cfg.get("minhash_k", 12), bands=cfg.get("lsh_bands", 4)
     )
-    drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    if cfg.get("components", False):
+        # transitive-closure dedup: ONE survivor (min id) per connected
+        # component of the near-dup graph — pair-wise doc_b dropping
+        # under-drops chained duplicates (A~B, B~C with no A~C pair)
+        comp = dd.duplicate_components(pairs)
+        drops = comp.filter(F.col("doc_id") != F.col("component_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(drops, id_col, "left_anti")
 
 

@@ -550,3 +550,91 @@ def test_span_dedup_matches_duckdb_oracle(spark, sf_dir):
     finally:
         con.close()
     assert ok, msg
+
+
+# --- connected components over the near-dup pair graph ---
+
+def test_duplicate_components_chain_vs_pairwise_drop(spark):
+    # edges (2,3) and (1,3) only: 1-2-3 is ONE cluster via 3, but the
+    # naive "drop every doc_b" rule keeps {1,2} (under-drop). The
+    # component rule keeps exactly min(id) = 1.
+    pairs = spark.createDataFrame([(2, 3), (1, 3)], ["doc_a", "doc_b"])
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dd.duplicate_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_duplicate_components_disjoint_clusters_and_long_chain(spark):
+    # a 6-node path (worst diameter shape) plus a separate 2-cluster
+    path = [(i, i + 1) for i in range(10, 15)]
+    pairs = spark.createDataFrame(path + [(100, 101)], ["doc_a", "doc_b"])
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dd.duplicate_components(pairs).collect()
+    }
+    assert all(comp[i] == 10 for i in range(10, 16))
+    assert comp[100] == 100 and comp[101] == 100
+
+
+def test_duplicate_components_matches_duckdb_closure(spark, sf_dir, tmp_path):
+    # independent check of the graph algorithm: Spark label propagation
+    # vs a DuckDB recursive-CTE transitive closure over the REAL LSH
+    # pair graph (pair generation itself is oracle-checked by the
+    # dedup_minhash_lsh board row)
+    import duckdb
+
+    docs = docsrc.documents_df(spark, sf_dir)
+    sigs = dd.minhash_signatures(dd.shingles(docs, w=3, distinct=False), k=12)
+    pairs = dd.lsh_pairs(sigs, k=12, bands=4)
+    ppath = str(tmp_path / "pairs.parquet")
+    pairs.write.mode("overwrite").parquet(ppath)
+    got = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in dd.duplicate_components(pairs).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (int(u), int(c))
+        for u, c in con.execute(
+            f"""
+            WITH RECURSIVE edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM '{ppath}/*.parquet'
+              UNION SELECT doc_b, doc_a FROM '{ppath}/*.parquet'
+            ), reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc_id, least(u, min(v)) AS component_id
+            FROM reach GROUP BY u
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
+
+
+def test_config_pipeline_minhash_components_drop_rule(spark):
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+
+    # three mutually-near texts that chain (1~2, 2~3) and one outlier
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("today", "tomorrow")),
+            (3, base.replace("today", "tomorrow").replace("quick", "slow")),
+            (9, "completely different content about spark shuffles here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out, _ = config_pipeline.build_from_config(
+        spark, "",
+        {"processors": [{"type": "dedup_minhash", "components": True}]},
+        source=df,
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # one survivor (min id) per near-dup component + the outlier
+    assert kept[0] == 1 and 9 in kept and 2 not in kept
