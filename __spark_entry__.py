@@ -654,6 +654,39 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.span_dedup(docsrc.documents_df(spark, sf_dir))
 
 
+def q_corpus_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-only: the FULL declarative training-data recipe as one
+    config-compiled job — PII scrub -> Gopher gates -> exact dedup ->
+    minhash near-dup with connected-components survivors ->
+    benchmark decontamination -> DSIR target selection -> deterministic
+    global shuffle -> sequence packing. Every stage is individually
+    oracle- or pytest-checked; this entry times their composition (the
+    number a 100 TB corpus-prep deployment actually cares about)."""
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+
+    docs = docsrc.documents_df(spark, sf_dir)
+    cfg = {
+        "processors": [
+            {"type": "pii_scrub"},
+            {"type": "gopher_gates", "min_words": 5, "max_symbol_word_ratio": 0.3},
+            {"type": "dedup_exact"},
+            # boundary: everything downstream is multi-pass (components
+            # iteration, decontamination probe, DSIR's two scans) — cut
+            # the lineage once so passes re-read a materialized frame
+            {"type": "checkpoint"},
+            {"type": "dedup_minhash", "components": True},
+            {"type": "checkpoint"},
+            {"type": "decontaminate", "eval_where": "doc_id % 17 = 0", "n": 3},
+            {"type": "dsir_select", "target_where": "doc_id % 13 = 0",
+             "k": 200, "seed": 5},
+            {"type": "global_shuffle", "key": "doc_id", "seed": 5},
+            {"type": "pack_sequences", "budget": 2048},
+        ]
+    }
+    out, _sinks = config_pipeline.build_from_config(spark, sf_dir, cfg, source=docs)
+    return out
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = docsrc.embeddings_df(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < ANN_QUERY_MAX)

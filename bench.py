@@ -64,6 +64,7 @@ HEADLINE = [
     "semdedup",
     "dsir_weights",
     "span_dedup",
+    "corpus_dag",
 ]
 
 #: the 19 queries benched since round 3 — their subtotal is emitted as
@@ -74,7 +75,8 @@ HEADLINE = [
 #: (decontamination, semdedup, dsir_weights).
 COMPARABLE_19 = [n for n in HEADLINE if n not in (
     "pack_sequences", "ann_ivf_topk", "repetition_signals",
-    "decontamination", "semdedup", "dsir_weights", "span_dedup")]
+    "decontamination", "semdedup", "dsir_weights", "span_dedup",
+    "corpus_dag")]
 
 
 def _exec(df) -> int:
@@ -100,6 +102,8 @@ def run_bench(spark: SparkSession, sf_dir: str, names=None) -> dict[str, float]:
     qs.setdefault("ann_cosine_topk", e.q_ann_cosine_topk)
     # bench-only: C4 span dedup is pytest-oracle-checked, not a board row
     qs.setdefault("span_dedup", e.q_span_dedup)
+    # bench-only: the composed declarative corpus-prep DAG end-to-end
+    qs.setdefault("corpus_dag", e.q_corpus_dag)
     names = [n for n in (names or HEADLINE) if n in qs]
     times: dict[str, float] = {}
     for name in names:

@@ -371,9 +371,15 @@ def duplicate_components(
     chain longer than max_iters — raise the bound for adversarial
     graphs; components from banded LSH are never that shape).
     """
-    sym = pairs.select(
-        F.col(a_col).alias("u"), F.col(b_col).alias("v")
-    ).union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    sym = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        # materialize the edge list ONCE: it is referenced every
+        # iteration, and without this each pass re-executes whatever
+        # upstream pipeline produced the pairs (shingle+minhash+LSH,
+        # or worse) — O(iterations × upstream) instead of O(upstream)
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.groupBy("u").agg(F.min("v").alias("c"))
         .select("u", F.least("u", "c").alias("c"))

@@ -444,6 +444,22 @@ def _stage_pii_scrub(df, spark, sf_dir, cfg):
     return df.withColumn(col, out)
 
 
+def _stage_checkpoint(df, spark, sf_dir, cfg):
+    """Materialization boundary. Several training-data stages are
+    multi-pass over their input (DSIR's count+weight scans, the
+    decontamination probe, components iteration, any stage pair that
+    both scan the frame): without a boundary each pass re-executes the
+    entire upstream DAG, turning a linear pipeline into a quadratic
+    one. A real deployment writes intermediate tables between phases —
+    this stage is that, declaratively. ``mode: parquet`` (+ ``path``)
+    is the durable cluster form; the default ``localCheckpoint`` keeps
+    the boundary in executor storage (fast, non-durable)."""
+    if cfg.get("mode") == "parquet":
+        df.write.mode("overwrite").parquet(cfg["path"])
+        return spark.read.parquet(cfg["path"])
+    return df.localCheckpoint(eager=cfg.get("eager", True))
+
+
 def _stage_span_dedup(df, spark, sf_dir, cfg):
     """C4 three-sentence-span dedup (Raffel et al. 2020 §2.2) as a
     composable stage: REWRITES the text column in place (first global
@@ -503,6 +519,7 @@ STAGE_REGISTRY = {
     "lang_gate": _stage_lang_gate,
     "gopher_gates": _stage_gopher_gates,
     "repetition_gates": _stage_repetition_gates,
+    "checkpoint": _stage_checkpoint,
     "dedup_exact": _stage_dedup_exact,
     "dedup_minhash": _stage_dedup_minhash,
     "span_dedup": _stage_span_dedup,

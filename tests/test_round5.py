@@ -576,3 +576,41 @@ def test_config_pipeline_span_dedup_stage(spark):
     for doc_id, (text, _src) in got.items():
         assert text == want[doc_id]
     assert got[2][1] == "book" and got[4][1] == "code"
+
+
+def test_config_pipeline_checkpoint_stage_is_transparent(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+    from opentelemetry_collector_contrib_spark.sources import (
+        documents as docsrc,
+    )
+
+    docs = docsrc.documents_df(spark, "/root/testdata/sf0.001")
+    base = [{"type": "pii_scrub"}, {"type": "dedup_exact"}]
+    plain, _ = config_pipeline.build_from_config(
+        spark, "", {"processors": base}, source=docs
+    )
+    for boundary in (
+        {"type": "checkpoint"},
+        {"type": "checkpoint", "mode": "parquet",
+         "path": str(tmp_path / "ckpt")},
+    ):
+        ck, _ = config_pipeline.build_from_config(
+            spark, "", {"processors": [base[0], boundary, base[1]]},
+            source=docs,
+        )
+        a = sorted(tuple(r) for r in plain.select("doc_id", "text").collect())
+        b = sorted(tuple(r) for r in ck.select("doc_id", "text").collect())
+        assert a == b and len(a) > 0
+
+
+def test_corpus_dag_end_to_end(spark):
+    import __spark_entry__ as e
+
+    out = e.q_corpus_dag(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert set(out.columns) == {
+        "shard", "bin_idx", "doc_ids", "n_docs", "total_tokens"
+    }
+    # every packed bin respects the token budget
+    assert all(r["total_tokens"] <= 2048 for r in rows)
