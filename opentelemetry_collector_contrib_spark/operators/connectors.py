@@ -223,18 +223,23 @@ def write_routed(
         # lumberjack rotates by file size. Spark's knob is records per
         # file, so translate: average serialized row size from a bounded
         # sample (JSON length — exact for fmt=json, a conservative
-        # overestimate for columnar parquet) -> records that fit the cap
+        # overestimate for columnar parquet) -> records that fit the cap.
+        # maxRecordsPerFile is one GLOBAL writer option, while lumberjack
+        # caps each sink's file independently — so size the cap for the
+        # LARGEST-rowed sink in the sample (min records over per-sink
+        # averages): no sink's files exceed the cap, small-rowed sinks
+        # just rotate early (lumberjack never over-sizes either).
         cols = [c for c in routed.columns]
-        avg_row = (
-            routed.limit(1024)
-            .select(
-                F.avg(F.length(F.to_json(F.struct(*cols)))).alias("b")
-            )
-            .collect()[0]["b"]
+        per_sink = (
+            routed.limit(4096)
+            .groupBy("sink")
+            .agg(F.avg(F.length(F.to_json(F.struct(*cols)))).alias("b"))
+            .collect()
         )
-        if avg_row:
+        worst = max((r["b"] for r in per_sink if r["b"]), default=None)
+        if worst:
             max_records_per_file = max(
-                1, int(max_megabytes * (1 << 20) // max(avg_row, 1.0))
+                1, int(max_megabytes * (1 << 20) // max(worst, 1.0))
             )
     if max_records_per_file is not None:
         # rotation analog (fileexporter rotation.max_megabytes/backups,

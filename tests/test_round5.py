@@ -614,3 +614,34 @@ def test_corpus_dag_end_to_end(spark):
     }
     # every packed bin respects the token budget
     assert all(r["total_tokens"] <= 2048 for r in rows)
+
+
+def test_write_routed_cap_sized_by_largest_rowed_sink(spark, tmp_path):
+    """maxRecordsPerFile is one global writer option; the byte-cap
+    translation must size it for the sink with the LARGEST rows so no
+    sink's files blow the cap (small-rowed sinks just rotate early)."""
+    import glob
+    import os
+
+    from opentelemetry_collector_contrib_spark.operators import connectors
+
+    big = F.concat_ws("", F.array_repeat(F.lit("x"), 20000))
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("conv_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("small")).otherwise(big).alias(
+                "payload"
+            ),
+            F.when(F.col("id") % 2 == 0, F.lit("tiny")).otherwise(
+                F.lit("fat")
+            ).alias("_route"),
+        )
+    )
+    paths = connectors.write_routed(
+        df, {"tiny": ["tiny"], "fat": ["fat"]}, str(tmp_path / "ps"),
+        max_megabytes=1, files_per_sink=2,
+    )
+    for sink, p in paths.items():
+        for f in glob.glob(p + "/*.parquet"):
+            assert os.path.getsize(f) <= 1 << 20, (sink, f)
