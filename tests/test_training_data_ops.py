@@ -638,3 +638,40 @@ def test_config_pipeline_minhash_components_drop_rule(spark):
     kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     # one survivor (min id) per near-dup component + the outlier
     assert kept[0] == 1 and 9 in kept and 2 not in kept
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_duplicate_components_matches_union_find(spark, seed):
+    # algorithmic property check: random graphs vs an independent
+    # pure-Python union-find (seeded — deterministic across runs)
+    import random
+
+    rng = random.Random(seed)
+    n = 40
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(5, 60))
+        }
+    )
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    vertices = {v for e in edges for v in e}
+    want = sorted((v, find(v)) for v in vertices)
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in dd.duplicate_components(pairs).collect()
+    )
+    assert got == want
