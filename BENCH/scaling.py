@@ -203,14 +203,23 @@ def main() -> None:
     # recorded raw but excluded from the headline; a headline claiming
     # >1.0 efficiency would be evidence of noise, not of scaling.
     physical = [r for r in per_round if r["scaling_efficiency"] <= 1.0]
-    best = max(
-        physical or per_round, key=lambda r: r["scaling_efficiency"]
-    )
+    if physical:
+        best = max(physical, key=lambda r: r["scaling_efficiency"])
+        headline_valid = True
+    else:
+        # EVERY round super-linear: the small-level half was throttled
+        # in all windows, so no measured ratio is physical. Report the
+        # least-inflated round RAW and mark the headline invalid — a
+        # clamped 1.0 attributed to a round the same summary lists as
+        # excluded would be self-contradictory fabricated evidence.
+        best = min(per_round, key=lambda r: r["scaling_efficiency"])
+        headline_valid = False
     summary = {
         "rounds": per_round,
         "best_round": best["round"],
         "speedup": best["speedup"],
-        "scaling_efficiency": min(best["scaling_efficiency"], 1.0),
+        "scaling_efficiency": best["scaling_efficiency"],
+        "headline_valid": headline_valid,
         "superlinear_rounds_excluded": [
             r["round"] for r in per_round if r["scaling_efficiency"] > 1.0
         ],

@@ -100,6 +100,10 @@ def run_bench(spark: SparkSession, sf_dir: str, names=None) -> dict[str, float]:
     # the BENCH number stays the standalone brute-force query so the
     # cross-round comparable subtotal keeps its meaning
     qs.setdefault("ann_cosine_topk", e.q_ann_cosine_topk)
+    # the board folded lang_id into text_stats in round 5; the BENCH
+    # number stays the round-3/4 scope (no lang_id) so the
+    # comparable_19_total subtotal times an identical query each round
+    qs["text_stats"] = e.q_text_stats_bench
     # bench-only: C4 span dedup is pytest-oracle-checked, not a board row
     qs.setdefault("span_dedup", e.q_span_dedup)
     # bench-only: the composed declarative corpus-prep DAG end-to-end

@@ -58,6 +58,13 @@ def contamination_report(
     published value for the benchmark suite being protected. Documents
     shorter than ``n`` words contribute their single truncated shingle
     (same convention as the dedup family, mirrored by the oracle).
+
+    Documents with ZERO shingles (empty/whitespace/punctuation-only
+    text produces no ``[a-z0-9]`` token) still get their row —
+    ``n_ngrams = 0``, ``contamination = 0.0``, un-contaminated — via a
+    left join from the id spine back onto the aggregate (ids only, a
+    narrow shuffle); dropping them would silently bias any corpus-rate
+    computed as ``avg(contaminated)`` over the report.
     """
     doc_sh = shingles(docs, col=col, id_col=id_col, w=n, distinct=True)
     eval_sh = (
@@ -71,13 +78,21 @@ def contamination_report(
         F.count(F.lit(1)).alias("n_ngrams"),
         F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
     )
-    return rep.select(
+    spine = docs.select(id_col)
+    return spine.join(rep, id_col, "left").select(
         id_col,
-        "n_ngrams",
-        "n_contaminated",
-        (F.col("n_contaminated").cast("double") / F.col("n_ngrams"))
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.col("n_contaminated").cast("double") / F.col("n_ngrams"),
+        )
+        .otherwise(F.lit(0.0))
         .alias("contamination"),
-        (F.col("n_contaminated") >= F.lit(int(min_hits))).alias("contaminated"),
+        (F.coalesce(F.col("n_contaminated"), F.lit(0)) >= F.lit(int(min_hits)))
+        .alias("contaminated"),
     )
 
 

@@ -96,15 +96,22 @@ def exact_sample(
     cache behind — the checkpointed sample itself is released by
     Spark's ContextCleaner when the caller drops the DataFrame.
     """
+    def _finish(out: DataFrame) -> DataFrame:
+        # materialize applies on EVERY path (small-k, degenerate k>=n,
+        # and the large-k fallback too) — a config-pipeline epoch loop
+        # that asks for an eager boundary must get one regardless of
+        # which branch the sizes selected
+        return out.localCheckpoint(eager=True) if materialize else out
+
     h = _hash_order(F.col(key), seed)
     if not large_k:
-        return df.orderBy(h).limit(k)
+        return _finish(df.orderBy(h).limit(k))
 
     import math
 
     n = est_total if est_total is not None else df.count()
     if k >= n:
-        return df
+        return _finish(df)
     p = min(1.0, (k + 6.0 * math.sqrt(k) + 16.0) / n)
     u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
     surv = df.filter(u < F.lit(p))
@@ -120,7 +127,7 @@ def exact_sample(
     counts = {r["_pid"]: r["count"] for r in ranged.groupBy("_pid").count().collect()}
     if sum(counts.values()) < k:
         ranged.unpersist()
-        return df.orderBy(h).limit(k)
+        return _finish(df.orderBy(h).limit(k))
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

@@ -119,21 +119,25 @@ def dsir_logweights(
     )
     raw_counts = corpus_tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
     tgt_counts = target_tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
-    # grand totals as WINDOW sums over the ≤B-row count frames — a
-    # separate .agg() total would re-execute the whole count subtree
-    # (scan included; Catalyst gives no ReusedExchange guarantee).
-    # t_tgt must total over ALL target buckets, so it is attached on
-    # the target side BEFORE the left join (a post-join sum would drop
-    # target-only buckets), then spread to unmatched rows via a max
-    # window (constant within the frame; 0 when the target is empty).
-    # WindowExec's single-partition warning is expected and harmless
-    # here: the windowed frames are bounded at B rows by construction.
+    # The CORPUS grand total is a WINDOW sum over the ≤B-row count
+    # frame — a separate .agg() total would re-execute the whole
+    # corpus tokenize+count subtree (scan included; Catalyst gives no
+    # ReusedExchange guarantee). WindowExec's single-partition warning
+    # is expected and harmless: the frame is bounded at B rows.
+    # The TARGET grand total must survive even when the target shares
+    # ZERO buckets with the corpus (a max-over-joined-rows would see
+    # only nulls there and collapse to 0, inflating every λ), so it is
+    # attached as a one-row crossJoin — re-executing the TARGET count
+    # subtree is fine because the target is benchmark-sized by
+    # definition; it was only the corpus re-scan that had to go.
     wall = Window.partitionBy()
     raw_w = raw_counts.withColumn("t_raw", F.sum("c_raw").over(wall))
-    tgt_w = tgt_counts.withColumn("t_tgt", F.sum("c_tgt").over(wall))
+    tgt_total = tgt_counts.agg(
+        F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t_tgt")
+    )
     lam = (
-        raw_w.join(tgt_w, "bucket", "left")
-        .withColumn("t_tgt", F.coalesce(F.max("t_tgt").over(wall), F.lit(0)))
+        raw_w.join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(tgt_total))
         .select(
             "bucket",
             (

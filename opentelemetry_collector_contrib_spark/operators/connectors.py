@@ -221,18 +221,23 @@ def write_routed(
     if max_megabytes is not None and max_records_per_file is None:
         # rotation.max_megabytes (exporter/fileexporter/config.go:60-62):
         # lumberjack rotates by file size. Spark's knob is records per
-        # file, so translate: average serialized row size from a bounded
-        # sample (JSON length — exact for fmt=json, a conservative
-        # overestimate for columnar parquet) -> records that fit the cap.
-        # maxRecordsPerFile is one GLOBAL writer option, while lumberjack
-        # caps each sink's file independently — so size the cap for the
-        # LARGEST-rowed sink in the sample (min records over per-sink
-        # averages): no sink's files exceed the cap, small-rowed sinks
-        # just rotate early (lumberjack never over-sizes either).
+        # file, so translate: average serialized row size (JSON length —
+        # exact for fmt=json, a conservative overestimate for columnar
+        # parquet) -> records that fit the cap. maxRecordsPerFile is one
+        # GLOBAL writer option, while lumberjack caps each sink's file
+        # independently — so size the cap for the LARGEST-rowed sink
+        # (min records over per-sink averages): no sink's files exceed
+        # the cap, small-rowed sinks just rotate early (lumberjack never
+        # over-sizes either). The per-sink averages come from ONE full
+        # narrow aggregate pass, NOT a limit(N) head sample: limit pulls
+        # from the first partitions only, so a large-rowed sink routed
+        # later would escape the estimate entirely and its files would
+        # blow the cap. The extra pass is a projection + map-side-
+        # combined agg (no wide shuffle of data rows); callers who can't
+        # afford it at extreme scale pass max_records_per_file directly.
         cols = [c for c in routed.columns]
         per_sink = (
-            routed.limit(4096)
-            .groupBy("sink")
+            routed.groupBy("sink")
             .agg(F.avg(F.length(F.to_json(F.struct(*cols)))).alias("b"))
             .collect()
         )

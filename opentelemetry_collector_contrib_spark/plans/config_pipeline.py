@@ -290,14 +290,23 @@ def _stage_repetition_gates(df, spark, sf_dir, cfg):
 def _stage_dedup_exact(df, spark, sf_dir, cfg):
     # keep-min-id exact dedup (same normalization as
     # functions.dedup.exact_dedup, but row-preserving so the stage
-    # composes: the frame flows on with all its columns)
+    # composes: the frame flows on with all its columns). ONE window
+    # shuffle on the content hash — NOT a groupBy(min) + self-join,
+    # which references the input twice and re-executes every upstream
+    # stage (the PII regex chain, gopher gates...) per action
+    from pyspark.sql import Window
+
     id_col = cfg.get("id_col", "doc_id")
     h = F.md5(
         F.lower(F.regexp_replace(F.col(cfg.get("col", "text")), r"\s+", " "))
     )
-    hashed = df.withColumn("_h", h)
-    keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
-    return hashed.join(keep, ["_h", id_col]).drop("_h")
+    w = Window.partitionBy("_h").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
 
 
 def _stage_dedup_minhash(df, spark, sf_dir, cfg):
@@ -420,14 +429,17 @@ def _stage_dsir_select(df, spark, sf_dir, cfg):
 
 
 #: published-recipe PII patterns (the C4/RefinedWeb-style scrub):
-#: order matters — emails before bare domains would, e.g., matter if a
-#: domain rule existed; each is a (java_regex, replacement) pair
+#: order matters — the more-specific dotted/dashed numeric shapes (IPv4,
+#: SSN) run BEFORE the phone rule, or "255.255.255.255" reads as a phone
+#: prefix; each is a (java_regex, replacement) pair. The phone rule's
+#: last separator is INSIDE the optional digit group so a match never
+#: consumes the whitespace after the number (which would merge words).
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3}[-. ]\d{3,4}[-. ]?\d{0,4}\b",
-     "<PHONE>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3}[-. ]\d{3,4}(?:[-. ]\d{1,4})?\b",
+     "<PHONE>"),
     (r"\b(?:sk|pk|api|key|token)[-_][A-Za-z0-9]{16,}\b", "<KEY>"),
 ]
 

@@ -645,3 +645,58 @@ def test_write_routed_cap_sized_by_largest_rowed_sink(spark, tmp_path):
     for sink, p in paths.items():
         for f in glob.glob(p + "/*.parquet"):
             assert os.path.getsize(f) <= 1 << 20, (sink, f)
+
+
+def test_pii_scrub_ip_not_phone_and_no_word_merge(spark):
+    # regression: the phone rule used to (a) fire before the IP rule,
+    # mislabeling dotted IPv4s, and (b) consume the separator after the
+    # number, merging adjacent words
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "ip 255.255.255.255 mid 192.168.100.1 call 555-123-4567 now "
+             "ssn 123-45-6789 end")],
+        ["doc_id", "text"],
+    )
+    out, _ = config_pipeline.build_from_config(
+        spark, "", {"processors": [{"type": "pii_scrub"}]}, source=df
+    )
+    text = out.collect()[0]["text"]
+    assert text == ("ip <IP> mid <IP> call <PHONE> now ssn <SSN> end"), text
+
+
+def test_contamination_report_keeps_zero_shingle_docs(spark):
+    # regression: a doc with no [a-z0-9] token produces zero shingles
+    # and used to vanish from the report, biasing avg(contaminated)
+    from opentelemetry_collector_contrib_spark.functions import decontam as dc
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "!!! ... ???"), (3, "")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(9, "quick brown fox")], ["doc_id", "text"])
+    rep = {r["doc_id"]: r for r in dc.contamination_report(docs, ev, n=3).collect()}
+    assert set(rep) == {1, 2, 3}
+    for d in (2, 3):
+        r = rep[d]
+        assert r["n_ngrams"] == 0 and r["n_contaminated"] == 0
+        assert r["contamination"] == 0.0 and r["contaminated"] is False
+    assert rep[1]["n_contaminated"] >= 1 and rep[1]["contaminated"] is True
+
+
+def test_dedup_exact_stage_single_pass_no_self_join(spark):
+    # regression: the stage used to groupBy(min)+self-join its input,
+    # re-executing every upstream stage twice per action; now one
+    # window shuffle — correctness (keep-min-id) plus plan shape
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+
+    docs = spark.createDataFrame(
+        [(3, "Same  Text"), (1, "same text"), (2, "unique"), (7, "SAME TEXT")],
+        ["doc_id", "text"],
+    )
+    out, _ = config_pipeline.build_from_config(
+        spark, "", {"processors": [{"type": "dedup_exact"}]}, source=docs
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan

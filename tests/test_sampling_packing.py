@@ -155,3 +155,19 @@ def test_exact_sample_large_k_sweep(docs):
             ).collect()
         }
         assert big == small, (k, seed, parts)
+
+
+def test_exact_sample_materialize_small_k_is_eager_boundary(spark):
+    # regression: materialize=True used to be silently ignored on the
+    # default small-k path — the returned frame must be checkpointed
+    # (lineage cut), not a lazy orderBy/limit over the input
+    df = spark.range(1000).select(F.col("id").alias("conv_id"))
+    out = sampling.exact_sample(df, 10, "conv_id", seed=3, materialize=True)
+    assert out.count() == 10
+    # a localCheckpoint-ed frame scans an ExistingRDD, not the range
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    lazy = sampling.exact_sample(df, 10, "conv_id", seed=3)
+    assert sorted(r["conv_id"] for r in out.collect()) == sorted(
+        r["conv_id"] for r in lazy.collect()
+    )

@@ -152,3 +152,29 @@ def test_importance_resample_weight_bias(spark):
     w = spark.createDataFrame(rows, ["doc_id", "logw"])
     got = [r["doc_id"] for r in wt.importance_resample(w, 20, seed=1).collect()]
     assert sum(1 for d in got if d < 20) >= 18
+
+
+def test_dsir_zero_bucket_overlap_uses_true_target_total(spark):
+    # corpus and target engineered to share NO md5-prefix bucket: with
+    # prefix 2 there are 256 buckets; pick single-token docs whose
+    # buckets differ. The λ for a corpus bucket must use the TRUE
+    # target total (len of target terms), not 0 — a 0 total inflates
+    # log((0+a)/(a*B)) to log((c+a)/(a*B)) uniformly.
+    import hashlib
+    import math
+
+    def bucket(t):
+        return hashlib.md5(t.encode()).hexdigest()[:2]
+
+    # find two words in different buckets
+    words = ["alpha", "beta", "gamma", "delta", "omega", "kappa"]
+    corpus_w = words[0]
+    target_w = next(w for w in words[1:] if bucket(w) != bucket(corpus_w))
+    corpus = spark.createDataFrame([(1, corpus_w)], ["doc_id", "text"])
+    target = spark.createDataFrame([(2, target_w)], ["doc_id", "text"])
+    row = wt.dsir_logweights(corpus, target).collect()[0]
+    # one-token doc => unigram + bigram-of-one = 2 occurrences of the
+    # same term; target likewise has t_tgt = 2
+    B = 256
+    lam = (math.log((0 + 1.0) / (2 + B)) - math.log((2 + 1.0) / (2 + B)))
+    assert abs(row["logw"] - 2 * lam) < 1e-9, (row["logw"], 2 * lam)
