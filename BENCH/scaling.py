@@ -146,6 +146,40 @@ def worker(cpus: int, input_dir: str) -> None:
     spark.stop()
 
 
+def summarize(per_round: list[dict]) -> dict:
+    """Pick the headline window from the per-round efficiencies.
+
+    Headline = best PHYSICAL round. Super-linear windows (eff > 1) are
+    throttle artifacts — the small-parallelism half ran while the
+    shared host was degraded, inflating the ratio — so they are
+    recorded raw but excluded from the headline; a headline claiming
+    >1.0 efficiency would be evidence of noise, not of scaling.
+
+    If EVERY round is super-linear, no measured ratio is physical:
+    report the least-inflated round RAW with ``headline_valid: false``
+    — a clamped 1.0 attributed to a round the same summary lists as
+    excluded would be self-contradictory fabricated evidence.
+    """
+    physical = [r for r in per_round if r["scaling_efficiency"] <= 1.0]
+    if physical:
+        best = max(physical, key=lambda r: r["scaling_efficiency"])
+        headline_valid = True
+    else:
+        best = min(per_round, key=lambda r: r["scaling_efficiency"])
+        headline_valid = False
+    return {
+        "rounds": per_round,
+        "best_round": best["round"],
+        "speedup": best["speedup"],
+        "scaling_efficiency": best["scaling_efficiency"],
+        "headline_valid": headline_valid,
+        "superlinear_rounds_excluded": [
+            r["round"] for r in per_round if r["scaling_efficiency"] > 1.0
+        ],
+        "sink_counts_equal": True,
+    }
+
+
 def main() -> None:
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3])
@@ -197,34 +231,7 @@ def main() -> None:
             results = pair
     finally:
         shutil.rmtree(input_dir, ignore_errors=True)
-    # Headline = best PHYSICAL round. Super-linear windows (eff > 1)
-    # are throttle artifacts — the small-parallelism half ran while the
-    # shared host was degraded, inflating the ratio — so they are
-    # recorded raw but excluded from the headline; a headline claiming
-    # >1.0 efficiency would be evidence of noise, not of scaling.
-    physical = [r for r in per_round if r["scaling_efficiency"] <= 1.0]
-    if physical:
-        best = max(physical, key=lambda r: r["scaling_efficiency"])
-        headline_valid = True
-    else:
-        # EVERY round super-linear: the small-level half was throttled
-        # in all windows, so no measured ratio is physical. Report the
-        # least-inflated round RAW and mark the headline invalid — a
-        # clamped 1.0 attributed to a round the same summary lists as
-        # excluded would be self-contradictory fabricated evidence.
-        best = min(per_round, key=lambda r: r["scaling_efficiency"])
-        headline_valid = False
-    summary = {
-        "rounds": per_round,
-        "best_round": best["round"],
-        "speedup": best["speedup"],
-        "scaling_efficiency": best["scaling_efficiency"],
-        "headline_valid": headline_valid,
-        "superlinear_rounds_excluded": [
-            r["round"] for r in per_round if r["scaling_efficiency"] > 1.0
-        ],
-        "sink_counts_equal": True,
-    }
+    summary = summarize(per_round)
     suffix = (
         "_arrow" if os.environ.get("SPARK_GRAFT_SCALE_PARSE") == "arrow" else ""
     )
@@ -233,8 +240,9 @@ def main() -> None:
     ) as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({"metric": "scaling_efficiency",
-                      "value": best["scaling_efficiency"],
-                      "speedup": best["speedup"], "levels": levels,
+                      "value": summary["scaling_efficiency"],
+                      "speedup": summary["speedup"], "levels": levels,
+                      "headline_valid": summary["headline_valid"],
                       "rounds": [r["scaling_efficiency"] for r in per_round]}))
 
 

@@ -700,3 +700,35 @@ def test_dedup_exact_stage_single_pass_no_self_join(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_scaling_summarize_headline_selection():
+    # pure-python headline rule from BENCH/scaling.py: best PHYSICAL
+    # round wins; if every round is super-linear the least-inflated
+    # round is reported RAW with headline_valid=false (regression: the
+    # old code emitted a clamped 1.0 attributed to a round it also
+    # listed as excluded)
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling", os.path.join(os.path.dirname(__file__), "..", "BENCH", "scaling.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def rnd(i, eff, speedup=None):
+        return {"round": i, "speedup": speedup or round(eff * 4, 3),
+                "scaling_efficiency": eff, "levels": {}}
+
+    # mixed: the best physical round wins, super-linear ones excluded
+    s = mod.summarize([rnd(0, 0.974), rnd(1, 0.188), rnd(2, 1.005)])
+    assert s["best_round"] == 0 and s["scaling_efficiency"] == 0.974
+    assert s["headline_valid"] is True
+    assert s["superlinear_rounds_excluded"] == [2]
+
+    # all super-linear: least-inflated, raw, flagged invalid
+    s = mod.summarize([rnd(0, 1.31), rnd(1, 1.02), rnd(2, 1.2)])
+    assert s["best_round"] == 1 and s["scaling_efficiency"] == 1.02
+    assert s["headline_valid"] is False
+    assert s["superlinear_rounds_excluded"] == [0, 1, 2]
