@@ -119,25 +119,29 @@ def dsir_logweights(
     )
     raw_counts = corpus_tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
     tgt_counts = target_tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
-    # The CORPUS grand total is a WINDOW sum over the ≤B-row count
-    # frame — a separate .agg() total would re-execute the whole
-    # corpus tokenize+count subtree (scan included; Catalyst gives no
-    # ReusedExchange guarantee). WindowExec's single-partition warning
-    # is expected and harmless: the frame is bounded at B rows.
-    # The TARGET grand total must survive even when the target shares
-    # ZERO buckets with the corpus (a max-over-joined-rows would see
-    # only nulls there and collapse to 0, inflating every λ), so it is
-    # attached as a one-row crossJoin — re-executing the TARGET count
-    # subtree is fine because the target is benchmark-sized by
-    # definition; it was only the corpus re-scan that had to go.
+    # BOTH grand totals are WINDOW sums over the joined ≤2B-row count
+    # frame — a separate .agg() total (or a second reference to either
+    # count frame) would re-execute its whole tokenize+count subtree
+    # per action (scan included; Catalyst gives no ReusedExchange
+    # guarantee, and when the target is a filter over the same
+    # un-materialized pipeline as the corpus, "target-sized" output
+    # still costs a full upstream pass to produce). The join is FULL
+    # OUTER so target-only buckets participate in t_tgt — a left join's
+    # sum would collapse to 0 when the target shares no bucket with the
+    # corpus, inflating every λ — and corpus-less rows are dropped only
+    # AFTER the totals are taken (the filter cannot push below the
+    # empty-partition window). WindowExec's single-partition warning is
+    # expected and harmless: the frame is bounded at 2B rows.
     wall = Window.partitionBy()
-    raw_w = raw_counts.withColumn("t_raw", F.sum("c_raw").over(wall))
-    tgt_total = tgt_counts.agg(
-        F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t_tgt")
-    )
     lam = (
-        raw_w.join(tgt_counts, "bucket", "left")
-        .crossJoin(F.broadcast(tgt_total))
+        raw_counts.join(tgt_counts, "bucket", "full")
+        .withColumn(
+            "t_raw", F.sum(F.coalesce(F.col("c_raw"), F.lit(0))).over(wall)
+        )
+        .withColumn(
+            "t_tgt", F.sum(F.coalesce(F.col("c_tgt"), F.lit(0))).over(wall)
+        )
+        .filter(F.col("c_raw").isNotNull())
         .select(
             "bucket",
             (

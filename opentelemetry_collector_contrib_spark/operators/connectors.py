@@ -206,6 +206,11 @@ def write_routed(
     file each — while avoiding the single-hot-partition skew that a bare
     ``repartition("sink")`` would create for the catchall sink."""
     routed = routed_union(tagged, sink_map)
+    # cap estimation reads THIS frame, captured before the
+    # files_per_sink repartition below — estimating after it would run
+    # the full wide shuffle once for the estimate and again for the
+    # write
+    est_src = routed
     if files_per_sink is not None:
         salt = F.pmod(F.hash(F.col(salt_col)), F.lit(files_per_sink))
         n_sinks = len({s for v in sink_map.values() for s in v})
@@ -235,9 +240,9 @@ def write_routed(
         # blow the cap. The extra pass is a projection + map-side-
         # combined agg (no wide shuffle of data rows); callers who can't
         # afford it at extreme scale pass max_records_per_file directly.
-        cols = [c for c in routed.columns]
+        cols = [c for c in est_src.columns]
         per_sink = (
-            routed.groupBy("sink")
+            est_src.groupBy("sink")
             .agg(F.avg(F.length(F.to_json(F.struct(*cols)))).alias("b"))
             .collect()
         )

@@ -293,14 +293,22 @@ def _stage_dedup_exact(df, spark, sf_dir, cfg):
     # composes: the frame flows on with all its columns). ONE window
     # shuffle on the content hash — NOT a groupBy(min) + self-join,
     # which references the input twice and re-executes every upstream
-    # stage (the PII regex chain, gopher gates...) per action
+    # stage (the PII regex chain, gopher gates...) per action.
+    # NULL text hashes to a sentinel (its own bucket: one survivor, not
+    # silently dropped as null join keys would be), and ties on
+    # (hash, id) — duplicate-id inputs — break on the full row's JSON
+    # hash so the survivor is retry-stable, never partition-order luck.
     from pyspark.sql import Window
 
     id_col = cfg.get("id_col", "doc_id")
-    h = F.md5(
-        F.lower(F.regexp_replace(F.col(cfg.get("col", "text")), r"\s+", " "))
+    h = F.coalesce(
+        F.md5(
+            F.lower(F.regexp_replace(F.col(cfg.get("col", "text")), r"\s+", " "))
+        ),
+        F.lit("__null_text__"),
     )
-    w = Window.partitionBy("_h").orderBy(F.col(id_col))
+    tiebreak = F.xxhash64(F.to_json(F.struct(*df.columns)))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col), tiebreak)
     return (
         df.withColumn("_h", h)
         .withColumn("_rn", F.row_number().over(w))
@@ -433,12 +441,16 @@ def _stage_dsir_select(df, spark, sf_dir, cfg):
 #: SSN) run BEFORE the phone rule, or "255.255.255.255" reads as a phone
 #: prefix; each is a (java_regex, replacement) pair. The phone rule's
 #: last separator is INSIDE the optional digit group so a match never
-#: consumes the whitespace after the number (which would merge words).
+#: consumes the whitespace after the number (which would merge words),
+#: and it starts with a (?<!\w) lookbehind, NOT \b — \b cannot match
+#: between a space and '(' or '+' (both non-word), which made the
+#: parenthesized-area-code and international-prefix branches dead and
+#: leaked "(555)" / "+" in front of the mask.
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3}[-. ]\d{3,4}(?:[-. ]\d{1,4})?\b",
+    (r"(?<!\w)(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3}[-. ]\d{3,4}(?:[-. ]\d{1,4})?\b",
      "<PHONE>"),
     (r"\b(?:sk|pk|api|key|token)[-_][A-Za-z0-9]{16,}\b", "<KEY>"),
 ]

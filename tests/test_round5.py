@@ -732,3 +732,34 @@ def test_scaling_summarize_headline_selection():
     assert s["best_round"] == 1 and s["scaling_efficiency"] == 1.02
     assert s["headline_valid"] is False
     assert s["superlinear_rounds_excluded"] == [0, 1, 2]
+
+
+def test_pii_scrub_paren_area_code_and_intl_prefix(spark):
+    # regression: \b can't match before '(' or '+', so "(555) 123-4567"
+    # leaked the area code and "+1 ..." leaked the plus/country code
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "a (555) 123-4567 b +1 555-123-4567 c 555-123-4567 d")],
+        ["doc_id", "text"],
+    )
+    out, _ = config_pipeline.build_from_config(
+        spark, "", {"processors": [{"type": "pii_scrub"}]}, source=df
+    )
+    assert out.collect()[0]["text"] == "a <PHONE> b <PHONE> c <PHONE> d"
+
+
+def test_dedup_exact_stage_null_text_and_duplicate_ids(spark):
+    # null text keeps exactly ONE survivor (its own sentinel bucket,
+    # not silently dropped); duplicate (hash, id) rows keep exactly one
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (3, "x"), (4, "y")],
+        ["doc_id", "text"],
+    )
+    out, _ = config_pipeline.build_from_config(
+        spark, "", {"processors": [{"type": "dedup_exact"}]}, source=docs
+    )
+    rows = sorted((r["doc_id"], r["text"]) for r in out.collect())
+    assert rows == [(1, None), (3, "x"), (4, "y")]
