@@ -403,9 +403,14 @@ def duplicate_components(
             .filter(F.col("n.c") != F.col("o.c"))
             .count()
         )
-        old = labels
+        # NOTE on the superseded frame's storage: Dataset.unpersist()
+        # would be a no-op here — localCheckpoint persists the
+        # underlying RDD outside the CacheManager, so the blocks are
+        # released by the ContextCleaner once this (the only) reference
+        # drops, i.e. one iteration later. At most ~2 label-frame
+        # copies — narrow (id, label) rows — are live at any time,
+        # bounded regardless of iteration count.
         labels = new
-        old.unpersist()
         if changed == 0:
             return labels.select(F.col("u").alias("doc_id"), F.col("c").alias("component_id"))
     raise RuntimeError(

@@ -200,9 +200,14 @@ def importance_resample(
     ) / F.lit(float(2 ** 31))
     gumbel = -F.log(-F.log(u))
     key = F.col(weight_col).cast("double") / F.lit(float(temperature)) + gumbel
+    # id_col as secondary sort: the Gumbel key uses the hash's low 31
+    # bits, so at corpus scale equal-logw docs CAN collide on _gk; a
+    # tie straddling the k-th cutoff would then be broken by partition
+    # layout — retry-unstable. The id tiebreak keeps the selection
+    # deterministic at any parallelism (same convention as exact_sample).
     return (
         weights.withColumn("_gk", key)
-        .orderBy(F.col("_gk").desc())
+        .orderBy(F.col("_gk").desc(), F.col(id_col))
         .limit(int(k))
         .drop("_gk")
     )

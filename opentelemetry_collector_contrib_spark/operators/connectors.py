@@ -218,7 +218,17 @@ def write_routed(
             files_per_sink * n_sinks, F.col("sink"), salt
         )
     path = f"{base_path.rstrip('/')}/routed"
-    writer = routed.write.mode("overwrite").partitionBy("sink").format(fmt)
+    # rotation semantics need prior generations to SURVIVE the write:
+    # a static overwrite wipes the whole tree before retention can run,
+    # turning max_backups into a silent no-op. With max_backups set the
+    # write APPENDS a new generation and retention then prunes older
+    # generations to the bound — like lumberjack's live file + N rotated
+    # backups. Note a bulk read of the sink directory sees the retained
+    # backups too (they are rotated files in the same dir, exactly as on
+    # a lumberjack-managed log dir); max_backups=0 keeps only the
+    # current write.
+    mode = "append" if max_backups is not None else "overwrite"
+    writer = routed.write.mode(mode).partitionBy("sink").format(fmt)
     if compression is not None:
         # fileexporter compression passthrough (exporter/fileexporter/
         # config.go:22-52): codec applies per output file

@@ -268,8 +268,16 @@ def _stage_gopher_gates(df, spark, sf_dir, cfg):
 def _stage_repetition_gates(df, spark, sf_dir, cfg):
     from ..functions import text as tx
 
+    # compute ONLY the n-gram families a configured threshold actually
+    # gates (same trick as functions.corpus.clean_corpus): each family
+    # rides the (doc, n, term) explode+shuffle, so defaulting to all
+    # five would push ~5x the token volume through the exchange for
+    # gates nobody asked for
+    top_ns = tuple(n for n in (2, 3, 4) if f"max_top{n}gram_frac" in cfg)
+    dup_ns = tuple(n for n in (5, 10) if f"max_dup{n}gram_frac" in cfg)
     reps = tx.repetition_signals(
-        df, col=cfg.get("col", "text"), id_col=cfg.get("id_col", "doc_id")
+        df, col=cfg.get("col", "text"), id_col=cfg.get("id_col", "doc_id"),
+        top_ns=top_ns, dup_ns=dup_ns,
     )
     cond = F.lit(True)
     for key, col in (
@@ -407,7 +415,8 @@ def _stage_semdedup(df, spark, sf_dir, cfg):
     kept = sim.semdedup(
         df, id_col=id_col, vec_col=vec_col,
         threshold=cfg.get("threshold", 0.95), cluster=cluster,
-        nlist=cfg.get("nlist", 16), seed=cfg.get("seed", 0),
+        nlist=cfg.get("nlist", 16), iters=cfg.get("iters", 2),
+        seed=cfg.get("seed", 0), centroids=cfg.get("centroids"),
         max_cluster_size=cfg.get("max_cluster_size"),
     )
     return df.join(kept.select(id_col), id_col, "left_semi")
@@ -446,10 +455,16 @@ def _stage_dsir_select(df, spark, sf_dir, cfg):
 #: between a space and '(' or '+' (both non-word), which made the
 #: parenthesized-area-code and international-prefix branches dead and
 #: leaked "(555)" / "+" in front of the mask.
+#: Bare unseparated digit runs ("5551234567") are deliberately NOT
+#: masked: a 10-digit rule is indistinguishable from unix timestamps,
+#: order ids and similar, and corrupting those in log-derived corpora
+#: costs more than the marginal recall. E.164 WITH the explicit '+'
+#: ("+15551234567") is unambiguous and gets its own rule.
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"(?<!\w)\+\d{10,14}\b", "<PHONE>"),
     (r"(?<!\w)(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3}[-. ]\d{3,4}(?:[-. ]\d{1,4})?\b",
      "<PHONE>"),
     (r"\b(?:sk|pk|api|key|token)[-_][A-Za-z0-9]{16,}\b", "<KEY>"),

@@ -669,9 +669,23 @@ def test_write_routed_max_megabytes_and_backups(spark, turns, tmp_path):
     total2 = sum(spark.read.parquet(f).count() for f in kept)
     assert total2 == turns.count()
 
-    # prior-generation files (present before the write) ARE pruned to
-    # the N newest — exercised directly since an overwrite write clears
-    # the directory itself
+    # END-TO-END retention: with max_backups the write appends a new
+    # generation (a static overwrite would wipe prior generations
+    # before retention could run, making max_backups a silent no-op),
+    # and the prior generation is pruned to the bound
+    paths3 = connectors.write_routed(
+        tagged, {"all": ["only"]}, str(tmp_path / "bk"),
+        files_per_sink=4, max_backups=2,
+    )
+    survivors = glob.glob(paths3["only"] + "/part-*")
+    # 4 current-generation files + exactly 2 retained from the first
+    assert len(survivors) == 6
+    total3 = sum(spark.read.parquet(f).count() for f in survivors)
+    # bulk read sees current + retained backups (rotated files share
+    # the directory, as on a lumberjack-managed log dir)
+    assert total3 > turns.count()
+
+    # prior-generation pruning rule exercised directly (modtime order)
     import time as _time
 
     gen_dir = tmp_path / "gen"

@@ -763,3 +763,19 @@ def test_dedup_exact_stage_null_text_and_duplicate_ids(spark):
     )
     rows = sorted((r["doc_id"], r["text"]) for r in out.collect())
     assert rows == [(1, None), (3, "x"), (4, "y")]
+
+
+def test_pii_scrub_e164_bare_plus_number(spark):
+    # "+15551234567" (E.164, no separators) is unambiguous PII and gets
+    # masked; bare digit runs without '+' stay (documented: a 10-digit
+    # rule would also eat unix timestamps / order ids)
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "a +15551234567 b 5551234567 c ts 1726500000 d")],
+        ["doc_id", "text"],
+    )
+    out, _ = config_pipeline.build_from_config(
+        spark, "", {"processors": [{"type": "pii_scrub"}]}, source=df
+    )
+    assert out.collect()[0]["text"] == "a <PHONE> b 5551234567 c ts 1726500000 d"
