@@ -531,8 +531,26 @@ def _stage_pack(df, spark, sf_dir, cfg):
     )
 
 
+def _stage_logstransform(df, spark, sf_dir, cfg):
+    """logstransform processor (processor/logstransformprocessor/
+    config.go:18-26: a processor whose config embeds a stanza operator
+    pipeline): each entry of ``operators`` is any registered stage
+    config, applied in order inside this one processor slot. The
+    deprecated Go processor exists because the collector needed a
+    bridge between its two operator runtimes; here both "runtimes" are
+    the same DataFrame compiler, so the bridge is literal composition —
+    but the config SHAPE (operators nested under one processor) is
+    accepted verbatim."""
+    for op in cfg.get("operators", []):
+        if op["type"] not in STAGE_REGISTRY:
+            raise ValueError(f"unknown logstransform operator {op['type']!r}")
+        df = STAGE_REGISTRY[op["type"]](df, spark, sf_dir, op)
+    return df
+
+
 STAGE_REGISTRY = {
     "resource_detect": _stage_resource_detect,
+    "logstransform": _stage_logstransform,
     "regex_parser": _stage_regex_parser,
     "grok_parser": _stage_grok_parser,
     "key_value_parser": _stage_kv,

@@ -329,3 +329,37 @@ def test_config_request_route_and_groupbyattrs(spark, sf_dir):
     )
     labels2 = {r["_route"] for r in tagged2.select("_route").distinct().collect()}
     assert labels2 == {"default"}
+
+
+def test_logstransform_stage_embeds_operator_pipeline(spark, sf_dir):
+    """logstransform (processor/logstransformprocessor): a processor
+    whose config nests a stanza operator list — must equal applying the
+    same stages unnested, and reject unknown nested operators."""
+    nested = {
+        "processors": [
+            {"type": "logstransform", "operators": [
+                {"type": "regex_parser", "pattern": PARSE_PATTERN,
+                 "groups": PARSE_GROUPS},
+                {"type": "severity_parser", "parse_from": "level"},
+            ]},
+        ]
+    }
+    flat = {
+        "processors": [
+            {"type": "regex_parser", "pattern": PARSE_PATTERN,
+             "groups": PARSE_GROUPS},
+            {"type": "severity_parser", "parse_from": "level"},
+        ]
+    }
+    a, _ = cfgp.build_from_config(spark, sf_dir, nested)
+    b, _ = cfgp.build_from_config(spark, sf_dir, flat)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    with pytest.raises(ValueError, match="logstransform operator"):
+        cfgp.build_from_config(
+            spark, sf_dir,
+            {"processors": [
+                {"type": "logstransform", "operators": [{"type": "nope"}]}
+            ]},
+        )
