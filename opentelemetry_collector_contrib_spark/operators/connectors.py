@@ -218,17 +218,7 @@ def write_routed(
             files_per_sink * n_sinks, F.col("sink"), salt
         )
     path = f"{base_path.rstrip('/')}/routed"
-    # rotation semantics need prior generations to SURVIVE the write:
-    # a static overwrite wipes the whole tree before retention can run,
-    # turning max_backups into a silent no-op. With max_backups set the
-    # write APPENDS a new generation and retention then prunes older
-    # generations to the bound — like lumberjack's live file + N rotated
-    # backups. Note a bulk read of the sink directory sees the retained
-    # backups too (they are rotated files in the same dir, exactly as on
-    # a lumberjack-managed log dir); max_backups=0 keeps only the
-    # current write.
-    mode = "append" if max_backups is not None else "overwrite"
-    writer = routed.write.mode(mode).partitionBy("sink").format(fmt)
+    writer = routed.write.mode("overwrite").partitionBy("sink").format(fmt)
     if compression is not None:
         # fileexporter compression passthrough (exporter/fileexporter/
         # config.go:22-52): codec applies per output file
@@ -268,62 +258,93 @@ def write_routed(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     sinks = sorted({s for v in sink_map.values() for s in v})
     paths = {s: f"{path}/sink={s}" for s in sinks}
-    pre_existing = (
-        _snapshot_parts(tagged.sparkSession, paths.values())
-        if max_backups is not None
-        else None
-    )
+    if max_backups is not None:
+        # rotation.max_backups (fileexporter config.go:71-73): lumberjack
+        # keeps the live file plus up to N complete rotated files. The
+        # analog here: BEFORE the overwrite, the current live generation
+        # of each sink is MOVED (FS rename, no data copy) to a sibling
+        # {base}/routed_backups/sink=X/gen-K/ directory, then backup
+        # generations beyond N are deleted, oldest first. Properties this
+        # buys, each matching lumberjack:
+        #   * reads of the returned sink paths see ONLY the live
+        #     generation (backups live outside the read path — never
+        #     silently duplicated rows in a bulk read);
+        #   * a retained backup is a COMPLETE generation (all of its
+        #     part-files), usable as a rollback point, not an arbitrary
+        #     file slice;
+        #   * the overwrite cannot wipe the backups (sibling tree).
+        _rotate_generations(tagged.sparkSession, path, sinks)
     writer.save(path)
     if max_backups is not None:
-        _prune_backups(
-            tagged.sparkSession, paths.values(), max_backups, pre_existing
+        _prune_backup_generations(
+            tagged.sparkSession, path, sinks, max_backups
         )
     return paths
 
 
-def _snapshot_parts(spark, sink_paths) -> set:
-    """Record the part-files present BEFORE a write, so retention can
-    distinguish prior generations from the current write's output."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    seen = set()
-    for sp in sink_paths:
-        p = jvm.org.apache.hadoop.fs.Path(sp)
-        fs = p.getFileSystem(hconf)
-        if not fs.exists(p):
-            continue
-        for st in fs.listStatus(p):
-            if st.getPath().getName().startswith("part-"):
-                seen.add(st.getPath().toString())
-    return seen
+def _backup_root(path: str) -> str:
+    return f"{path}_backups"
 
 
-def _prune_backups(spark, sink_paths, max_backups: int, pre_existing: set) -> None:
-    """rotation.max_backups (exporter/fileexporter/config.go:71-73):
-    lumberjack retains at most N *rotated* (older-generation) files and
-    DELETES the ones beyond that — it never touches the live file. The
-    analog: only files that existed BEFORE this write (a prior
-    generation that survived, e.g. under append/dynamic-partition
-    writes) are candidates; everything the current write produced is
-    the live generation and is always kept, regardless of how many
-    part-files the tasks emitted. Uses the Hadoop FileSystem API so it
-    works on any cluster filesystem, not just local disk."""
+def _rotate_generations(spark, path: str, sinks) -> None:
+    """Move each sink's current part-files to the next gen-K backup dir
+    (Hadoop FS rename — metadata-only on any sane filesystem)."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    for sp in sink_paths:
-        p = jvm.org.apache.hadoop.fs.Path(sp)
-        fs = p.getFileSystem(hconf)
-        if not fs.exists(p):
+    for s in sinks:
+        src_p = jvm.org.apache.hadoop.fs.Path(f"{path}/sink={s}")
+        fs = src_p.getFileSystem(hconf)
+        if not fs.exists(src_p):
             continue
         parts = [
-            st
-            for st in fs.listStatus(p)
+            st.getPath()
+            for st in fs.listStatus(src_p)
             if st.getPath().getName().startswith("part-")
-            and st.getPath().toString() in pre_existing
         ]
-        parts.sort(key=lambda st: st.getModificationTime(), reverse=True)
-        for st in parts[max_backups:]:
-            fs.delete(st.getPath(), False)
+        if not parts:
+            continue
+        gen_root = jvm.org.apache.hadoop.fs.Path(
+            f"{_backup_root(path)}/sink={s}"
+        )
+        nxt = 0
+        if fs.exists(gen_root):
+            for st in fs.listStatus(gen_root):
+                name = st.getPath().getName()
+                if name.startswith("gen-"):
+                    nxt = max(nxt, int(name[4:]) + 1)
+        dst = jvm.org.apache.hadoop.fs.Path(f"{gen_root}/gen-{nxt}")
+        fs.mkdirs(dst)
+        for p in parts:
+            fs.rename(
+                p, jvm.org.apache.hadoop.fs.Path(f"{dst}/{p.getName()}")
+            )
+
+
+def _prune_backup_generations(spark, path: str, sinks, max_backups: int) -> None:
+    """Keep the ``max_backups`` newest COMPLETE backup generations per
+    sink; delete older ones (lumberjack's bounded retention, with a
+    generation — one whole prior write — as the rotation unit)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for s in sinks:
+        gen_root = jvm.org.apache.hadoop.fs.Path(
+            f"{_backup_root(path)}/sink={s}"
+        )
+        fs = gen_root.getFileSystem(hconf)
+        if not fs.exists(gen_root):
+            continue
+        gens = sorted(
+            (
+                int(st.getPath().getName()[4:])
+                for st in fs.listStatus(gen_root)
+                if st.getPath().getName().startswith("gen-")
+            ),
+            reverse=True,
+        )
+        for g in gens[max_backups:]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{gen_root}/gen-{g}"), True
+            )
 
 
 def count_connector(

@@ -458,13 +458,16 @@ def _stage_dsir_select(df, spark, sf_dir, cfg):
 #: Bare unseparated digit runs ("5551234567") are deliberately NOT
 #: masked: a 10-digit rule is indistinguishable from unix timestamps,
 #: order ids and similar, and corrupting those in log-derived corpora
-#: costs more than the marginal recall. E.164 WITH the explicit '+'
-#: ("+15551234567") is unambiguous and gets its own rule.
+#: costs more than the marginal recall. An explicit '+' IS unambiguous,
+#: so '+'-prefixed numbers get their own rule: country code (1-3
+#: digits), at most one [-. ] separator, then an unseparated national
+#: part — 7..15 total digits, the E.164 bounds ("+15551234567",
+#: "+123456789012345", "+44 7911123456").
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    (r"(?<!\w)\+\d{10,14}\b", "<PHONE>"),
+    (r"(?<!\w)\+\d{1,3}[-. ]?\d{6,12}\b", "<PHONE>"),
     (r"(?<!\w)(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3}[-. ]\d{3,4}(?:[-. ]\d{1,4})?\b",
      "<PHONE>"),
     (r"\b(?:sk|pk|api|key|token)[-_][A-Za-z0-9]{16,}\b", "<KEY>"),
@@ -620,9 +623,17 @@ def build_from_config(
     request`` entries keep their condition as the raw
     ``request["k"] == "v"`` string, resolved per run on the driver)."""
     lin = lineage or Lineage()
-    for p in config.get("processors", []):
-        if p["type"] not in STAGE_REGISTRY:
-            raise ValueError(f"unknown processor type {p['type']!r}")
+    # validate the WHOLE config before any stage runs — including
+    # operators nested inside logstransform — so a typo'd type can
+    # never fail mid-job after upstream side-effecting stages (eager
+    # checkpoint writes) already executed
+    def _check(entries, what):
+        for p in entries:
+            if p["type"] not in STAGE_REGISTRY:
+                raise ValueError(f"unknown {what} type {p['type']!r}")
+            _check(p.get("operators", []), "logstransform operator")
+
+    _check(config.get("processors", []), "processor")
 
     df = source if source is not None else src.transcripts_df(spark, sf_dir)
     for i, p in enumerate(config.get("processors", [])):

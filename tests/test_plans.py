@@ -636,8 +636,11 @@ def test_spark_submit_py_files_entrypoint(tmp_path):
 
 def test_write_routed_max_megabytes_and_backups(spark, turns, tmp_path):
     """rotation.max_megabytes translates a byte cap into a records-per-
-    file bound via sampled row size; rotation.max_backups prunes to the
-    N newest part files per sink (lumberjack's bounded retention)."""
+    file bound via per-sink row sizes; rotation.max_backups rotates the
+    prior generation WHOLE into a sibling routed_backups tree and keeps
+    the N newest generations (lumberjack's bounded retention — live
+    reads never see backup rows, a backup is a complete rollback
+    point)."""
     import glob
     import os
 
@@ -655,58 +658,29 @@ def test_write_routed_max_megabytes_and_backups(spark, turns, tmp_path):
         # come in under the byte cap
         assert os.path.getsize(f) <= 1 << 20
 
-    # max_backups must NEVER delete the current write's own files, even
-    # when the write legitimately emits more part-files than the bound
-    # (lumberjack prunes only older rotated generations, never the live
-    # file) — regression for the round-4 defect where fresh data was
-    # silently pruned
-    paths2 = connectors.write_routed(
-        tagged, {"all": ["only"]}, str(tmp_path / "bk"),
-        files_per_sink=4, max_backups=2,
+    # four consecutive writes with max_backups=2: the live sink dir
+    # always holds EXACTLY the current generation (a bulk read is never
+    # polluted by backup rows), each retained backup generation is
+    # COMPLETE (full row count), and generations beyond the bound are
+    # deleted oldest-first
+    n = turns.count()
+    for _ in range(4):
+        paths2 = connectors.write_routed(
+            tagged, {"all": ["only"]}, str(tmp_path / "bk"),
+            files_per_sink=4, max_backups=2,
+        )
+        live = glob.glob(paths2["only"] + "/part-*")
+        assert len(live) == 4  # current generation only, never pruned
+        assert spark.read.parquet(paths2["only"]).count() == n
+    gen_dirs = sorted(
+        os.path.basename(p)
+        for p in glob.glob(str(tmp_path / "bk" / "routed_backups" / "sink=only" / "gen-*"))
     )
-    kept = glob.glob(paths2["only"] + "/part-*")
-    assert len(kept) == 4  # all current-generation files survive
-    total2 = sum(spark.read.parquet(f).count() for f in kept)
-    assert total2 == turns.count()
-
-    # END-TO-END retention: with max_backups the write appends a new
-    # generation (a static overwrite would wipe prior generations
-    # before retention could run, making max_backups a silent no-op),
-    # and the prior generation is pruned to the bound
-    paths3 = connectors.write_routed(
-        tagged, {"all": ["only"]}, str(tmp_path / "bk"),
-        files_per_sink=4, max_backups=2,
-    )
-    survivors = glob.glob(paths3["only"] + "/part-*")
-    # 4 current-generation files + exactly 2 retained from the first
-    assert len(survivors) == 6
-    total3 = sum(spark.read.parquet(f).count() for f in survivors)
-    # bulk read sees current + retained backups (rotated files share
-    # the directory, as on a lumberjack-managed log dir)
-    assert total3 > turns.count()
-
-    # prior-generation pruning rule exercised directly (modtime order)
-    import time as _time
-
-    gen_dir = tmp_path / "gen"
-    gen_dir.mkdir()
-    old = []
-    for i in range(3):
-        p = gen_dir / f"part-old-{i}.parquet"
-        p.write_bytes(b"x")
-        os.utime(p, (1000 + i, 1000 + i))
-        old.append(str(p))
-    new = gen_dir / "part-new-0.parquet"
-    new.write_bytes(b"y")
-    os.utime(new, (_time.time(), _time.time()))
-    # snapshot = what existed "before the write"; exclude the file the
-    # current write produced (paths as the Hadoop API reports them)
-    pre = connectors._snapshot_parts(spark, [str(gen_dir)])
-    assert len(pre) == 4
-    pre = {p for p in pre if "part-new" not in p}
-    connectors._prune_backups(spark, [str(gen_dir)], 1, pre)
-    left = sorted(os.path.basename(p) for p in glob.glob(str(gen_dir / "part-*")))
-    assert left == ["part-new-0.parquet", "part-old-2.parquet"]
+    assert gen_dirs == ["gen-1", "gen-2"]  # 2 newest of gens 0..2
+    for g in gen_dirs:
+        gp = str(tmp_path / "bk" / "routed_backups" / "sink=only" / g)
+        assert len(glob.glob(gp + "/part-*")) == 4  # complete generation
+        assert spark.read.parquet(gp).count() == n
 
 
 def test_sink_catalog_iceberg_invocation_chain(spark, turns):

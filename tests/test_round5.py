@@ -766,16 +766,20 @@ def test_dedup_exact_stage_null_text_and_duplicate_ids(spark):
 
 
 def test_pii_scrub_e164_bare_plus_number(spark):
-    # "+15551234567" (E.164, no separators) is unambiguous PII and gets
-    # masked; bare digit runs without '+' stay (documented: a 10-digit
+    # '+'-prefixed numbers are unambiguous PII across the E.164 range:
+    # unseparated, max-length 15-digit, and country-code-space forms all
+    # mask; bare digit runs without '+' stay (documented: a 10-digit
     # rule would also eat unix timestamps / order ids)
     from opentelemetry_collector_contrib_spark.plans import config_pipeline
 
     df = spark.createDataFrame(
-        [(1, "a +15551234567 b 5551234567 c ts 1726500000 d")],
+        [(1, "a +15551234567 b 5551234567 c ts 1726500000 d "
+             "+123456789012345 e +44 7911123456 f")],
         ["doc_id", "text"],
     )
     out, _ = config_pipeline.build_from_config(
         spark, "", {"processors": [{"type": "pii_scrub"}]}, source=df
     )
-    assert out.collect()[0]["text"] == "a <PHONE> b 5551234567 c ts 1726500000 d"
+    assert out.collect()[0]["text"] == (
+        "a <PHONE> b 5551234567 c ts 1726500000 d <PHONE> e <PHONE> f"
+    )
