@@ -191,6 +191,7 @@ def write_routed(
     max_records_per_file: int | None = None,
     max_megabytes: int | None = None,
     max_backups: int | None = None,
+    max_days: int | None = None,
 ) -> dict[str, str]:
     """Exporter stage: one partitioned write fans rows out to per-sink
     tables (fileexporter group_by semantics,
@@ -204,7 +205,15 @@ def write_routed(
     scale). A deterministic salt ``hash(salt_col) % files_per_sink``
     shuffles each sink's rows into exactly that many partitions — one
     file each — while avoiding the single-hot-partition skew that a bare
-    ``repartition("sink")`` would create for the catchall sink."""
+    ``repartition("sink")`` would create for the catchall sink.
+
+    The ``rotation`` block (exporter/fileexporter/config.go:58-79) maps
+    as: ``max_megabytes`` → per-file byte cap via records-per-file;
+    ``max_backups`` → N newest complete prior generations retained under
+    ``{base}/routed_backups``; ``max_days`` → backup generations older
+    than 24h·N (by filesystem modification time) are deleted, the
+    lumberjack MaxAge analog. ``localtime`` has no analog — backup
+    names are ordinal generations, not timestamps."""
     routed = routed_union(tagged, sink_map)
     # cap estimation reads THIS frame, captured before the
     # files_per_sink repartition below — estimating after it would run
@@ -274,10 +283,18 @@ def write_routed(
         #     file slice;
         #   * the overwrite cannot wipe the backups (sibling tree).
         _rotate_generations(tagged.sparkSession, path, sinks)
+    elif max_days is not None:
+        # age-based retention alone still needs the live generation
+        # preserved as a backup before the overwrite destroys it
+        _rotate_generations(tagged.sparkSession, path, sinks)
     writer.save(path)
     if max_backups is not None:
         _prune_backup_generations(
             tagged.sparkSession, path, sinks, max_backups
+        )
+    if max_days is not None:
+        _prune_backups_older_than(
+            tagged.sparkSession, path, sinks, max_days
         )
     return paths
 
@@ -318,6 +335,31 @@ def _rotate_generations(spark, path: str, sinks) -> None:
             fs.rename(
                 p, jvm.org.apache.hadoop.fs.Path(f"{dst}/{p.getName()}")
             )
+
+
+def _prune_backups_older_than(spark, path: str, sinks, max_days: int) -> None:
+    """rotation.max_days (fileexporter config.go:64-69, lumberjack
+    MaxAge): delete backup generations whose filesystem modification
+    time is older than 24h·``max_days``. A day is exactly 24 hours, as
+    the reference documents."""
+    import time
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    cutoff_ms = int((time.time() - max_days * 86400) * 1000)
+    for s in sinks:
+        gen_root = jvm.org.apache.hadoop.fs.Path(
+            f"{_backup_root(path)}/sink={s}"
+        )
+        fs = gen_root.getFileSystem(hconf)
+        if not fs.exists(gen_root):
+            continue
+        for st in fs.listStatus(gen_root):
+            if (
+                st.getPath().getName().startswith("gen-")
+                and st.getModificationTime() < cutoff_ms
+            ):
+                fs.delete(st.getPath(), True)
 
 
 def _prune_backup_generations(spark, path: str, sinks, max_backups: int) -> None:

@@ -712,3 +712,30 @@ def test_sink_catalog_iceberg_invocation_chain(spark, turns):
         rd.return_value.format.return_value.load.assert_called_once_with(
             "local.db.audit"
         )
+
+
+def test_write_routed_max_days_age_retention(spark, turns, tmp_path):
+    """rotation.max_days (lumberjack MaxAge): backup generations older
+    than 24h*N by filesystem modification time are deleted; fresh ones
+    and the live generation are kept."""
+    import glob
+    import os
+
+    tagged = turns.withColumn("_route", F.lit("all"))
+    base = str(tmp_path / "age")
+    # two writes -> one backup generation (gen-0)
+    connectors.write_routed(tagged, {"all": ["only"]}, base, max_days=1)
+    connectors.write_routed(tagged, {"all": ["only"]}, base, max_days=1)
+    gen0 = os.path.join(base, "routed_backups", "sink=only", "gen-0")
+    assert os.path.isdir(gen0)
+    # age gen-0 beyond the cutoff, then a third write prunes it while
+    # the (fresh) gen-1 from that same write survives
+    os.utime(gen0, (1000, 1000))
+    connectors.write_routed(tagged, {"all": ["only"]}, base, max_days=1)
+    gens = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(base, "routed_backups", "sink=only", "gen-*"))
+    )
+    assert gens == ["gen-1"]
+    n = turns.count()
+    assert spark.read.parquet(os.path.join(base, "routed", "sink=only")).count() == n
