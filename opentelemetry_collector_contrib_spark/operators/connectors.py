@@ -267,7 +267,7 @@ def write_routed(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     sinks = sorted({s for v in sink_map.values() for s in v})
     paths = {s: f"{path}/sink={s}" for s in sinks}
-    if max_backups is not None:
+    if max_backups is not None or max_days is not None:
         # rotation.max_backups (fileexporter config.go:71-73): lumberjack
         # keeps the live file plus up to N complete rotated files. The
         # analog here: BEFORE the overwrite, the current live generation
@@ -282,10 +282,8 @@ def write_routed(
         #     part-files), usable as a rollback point, not an arbitrary
         #     file slice;
         #   * the overwrite cannot wipe the backups (sibling tree).
-        _rotate_generations(tagged.sparkSession, path, sinks)
-    elif max_days is not None:
-        # age-based retention alone still needs the live generation
-        # preserved as a backup before the overwrite destroys it
+        # (max_days-only configs rotate too: age-based retention still
+        # needs the live generation preserved before the overwrite)
         _rotate_generations(tagged.sparkSession, path, sinks)
     writer.save(path)
     if max_backups is not None:
