@@ -214,6 +214,11 @@ def write_routed(
     than 24h·N (by filesystem modification time) are deleted, the
     lumberjack MaxAge analog. ``localtime`` has no analog — backup
     names are ordinal generations, not timestamps."""
+    if max_days is not None and max_days <= 0:
+        # lumberjack's MaxAge=0 means DISABLED (config.go:64-69); pass
+        # None for that here — accepting 0 would silently mean "delete
+        # every backup including the one just rotated", never intended
+        raise ValueError("max_days must be >= 1 (or None to disable)")
     routed = routed_union(tagged, sink_map)
     # cap estimation reads THIS frame, captured before the
     # files_per_sink repartition below — estimating after it would run

@@ -739,3 +739,13 @@ def test_write_routed_max_days_age_retention(spark, turns, tmp_path):
     assert gens == ["gen-1"]
     n = turns.count()
     assert spark.read.parquet(os.path.join(base, "routed", "sink=only")).count() == n
+
+
+def test_write_routed_max_days_zero_rejected(spark, turns, tmp_path):
+    # lumberjack MaxAge=0 means disabled; here that's None — an explicit
+    # 0 would silently delete every backup, so it fails loudly instead
+    tagged = turns.withColumn("_route", F.lit("all"))
+    with pytest.raises(ValueError, match="max_days"):
+        connectors.write_routed(
+            tagged, {"all": ["only"]}, str(tmp_path / "z"), max_days=0
+        )
