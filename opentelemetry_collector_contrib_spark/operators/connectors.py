@@ -210,15 +210,20 @@ def write_routed(
     The ``rotation`` block (exporter/fileexporter/config.go:58-79) maps
     as: ``max_megabytes`` → per-file byte cap via records-per-file;
     ``max_backups`` → N newest complete prior generations retained under
-    ``{base}/routed_backups``; ``max_days`` → backup generations older
-    than 24h·N (by filesystem modification time) are deleted, the
-    lumberjack MaxAge analog. ``localtime`` has no analog — backup
-    names are ordinal generations, not timestamps."""
+    ``{base}/routed_backups`` (0 = retain ALL, lumberjack's MaxBackups
+    zero value); ``max_days`` → backup generations older than 24h·N (by
+    filesystem modification time) are deleted, the lumberjack MaxAge
+    analog. ``localtime`` has no analog — backup names are ordinal
+    generations, not timestamps. With rotation on, the new generation
+    is written to a staging dir and swapped in AFTER the job commits,
+    so a failed write never leaves the live sink paths empty."""
     if max_days is not None and max_days <= 0:
         # lumberjack's MaxAge=0 means DISABLED (config.go:64-69); pass
         # None for that here — accepting 0 would silently mean "delete
         # every backup including the one just rotated", never intended
         raise ValueError("max_days must be >= 1 (or None to disable)")
+    if max_backups is not None and max_backups < 0:
+        raise ValueError("max_backups must be >= 0 (0 = retain all)")
     routed = routed_union(tagged, sink_map)
     # cap estimation reads THIS frame, captured before the
     # files_per_sink repartition below — estimating after it would run
@@ -275,47 +280,93 @@ def write_routed(
     if max_backups is not None or max_days is not None:
         # rotation.max_backups (fileexporter config.go:71-73): lumberjack
         # keeps the live file plus up to N complete rotated files. The
-        # analog here: BEFORE the overwrite, the current live generation
-        # of each sink is MOVED (FS rename, no data copy) to a sibling
-        # {base}/routed_backups/sink=X/gen-K/ directory, then backup
-        # generations beyond N are deleted, oldest first. Properties this
-        # buys, each matching lumberjack:
+        # analog: the new generation is WRITTEN TO A STAGING DIR first;
+        # only after the (potentially minutes-long, failable) Spark job
+        # commits does the live generation rotate — every existing
+        # sink=* dir found on the filesystem, not just this run's sink
+        # set — into a sibling {base}/routed_backups/sink=X/gen-K/ tree,
+        # and staging renames into place. Properties, each matching
+        # lumberjack:
+        #   * a failed/interrupted write leaves the live tree UNTOUCHED
+        #     (the vulnerable window is two metadata renames, not the
+        #     whole job);
+        #   * a sink present on disk but absent from this run's config
+        #     still rotates to a backup before the old tree goes away;
         #   * reads of the returned sink paths see ONLY the live
-        #     generation (backups live outside the read path — never
-        #     silently duplicated rows in a bulk read);
-        #   * a retained backup is a COMPLETE generation (all of its
-        #     part-files), usable as a rollback point, not an arbitrary
-        #     file slice;
-        #   * the overwrite cannot wipe the backups (sibling tree).
-        # (max_days-only configs rotate too: age-based retention still
-        # needs the live generation preserved before the overwrite)
-        _rotate_generations(tagged.sparkSession, path, sinks)
-    writer.save(path)
-    if max_backups is not None:
-        _prune_backup_generations(
-            tagged.sparkSession, path, sinks, max_backups
-        )
-    if max_days is not None:
-        _prune_backups_older_than(
-            tagged.sparkSession, path, sinks, max_days
-        )
+        #     generation (backups live outside the read path);
+        #   * a retained backup is a COMPLETE generation, a usable
+        #     rollback point — every FS rename is checked and raises on
+        #     failure rather than silently shedding part-files;
+        #   * max_backups=0 retains ALL generations (lumberjack's
+        #     MaxBackups zero value), max_days prunes by age.
+        staging = f"{path}__staging"
+        _fs_delete_if_exists(tagged.sparkSession, staging)
+        writer.save(staging)
+        _rotate_generations(tagged.sparkSession, path)
+        _fs_delete_if_exists(tagged.sparkSession, path)
+        _fs_rename(tagged.sparkSession, staging, path)
+        if max_backups is not None and max_backups > 0:
+            _prune_backup_generations(
+                tagged.sparkSession, path, max_backups
+            )
+        if max_days is not None:
+            _prune_backups_older_than(
+                tagged.sparkSession, path, max_days
+            )
+    else:
+        writer.save(path)
     return paths
+
+
+def _fs(spark, path_str: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _fs_delete_if_exists(spark, path_str: str) -> None:
+    fs, p, _ = _fs(spark, path_str)
+    if fs.exists(p):
+        if not fs.delete(p, True):
+            raise IOError(f"failed to delete {path_str}")
+
+
+def _fs_rename(spark, src: str, dst: str) -> None:
+    fs, p, jvm = _fs(spark, src)
+    if not fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _backup_sink_roots(spark, path: str):
+    """Yield (sink_name, gen_root_path_str) for every sink dir under the
+    backup tree."""
+    fs, root, _ = _fs(spark, _backup_root(path))
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("sink="):
+            yield name[5:], st.getPath().toString()
 
 
 def _backup_root(path: str) -> str:
     return f"{path}_backups"
 
 
-def _rotate_generations(spark, path: str, sinks) -> None:
-    """Move each sink's current part-files to the next gen-K backup dir
-    (Hadoop FS rename — metadata-only on any sane filesystem)."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for s in sinks:
-        src_p = jvm.org.apache.hadoop.fs.Path(f"{path}/sink={s}")
-        fs = src_p.getFileSystem(hconf)
-        if not fs.exists(src_p):
+def _rotate_generations(spark, path: str) -> None:
+    """Move the part-files of EVERY sink dir currently on disk under
+    ``path`` (not just this run's sink set — a sink dropped from the
+    config still deserves its backup) to the next gen-K backup dir.
+    Hadoop FS renames — metadata-only on any sane filesystem — with
+    return values CHECKED: an un-moved part-file would otherwise be
+    destroyed by the live-tree swap, silently holing the backup."""
+    fs, live_root, jvm = _fs(spark, path)
+    if not fs.exists(live_root):
+        return
+    for sink_st in fs.listStatus(live_root):
+        if not sink_st.getPath().getName().startswith("sink="):
             continue
+        src_p = sink_st.getPath()
         parts = [
             st.getPath()
             for st in fs.listStatus(src_p)
@@ -324,7 +375,7 @@ def _rotate_generations(spark, path: str, sinks) -> None:
         if not parts:
             continue
         gen_root = jvm.org.apache.hadoop.fs.Path(
-            f"{_backup_root(path)}/sink={s}"
+            f"{_backup_root(path)}/{src_p.getName()}"
         )
         nxt = 0
         if fs.exists(gen_root):
@@ -333,30 +384,24 @@ def _rotate_generations(spark, path: str, sinks) -> None:
                 if name.startswith("gen-"):
                     nxt = max(nxt, int(name[4:]) + 1)
         dst = jvm.org.apache.hadoop.fs.Path(f"{gen_root}/gen-{nxt}")
-        fs.mkdirs(dst)
+        if not fs.mkdirs(dst):
+            raise IOError(f"failed to create backup dir {dst}")
         for p in parts:
-            fs.rename(
-                p, jvm.org.apache.hadoop.fs.Path(f"{dst}/{p.getName()}")
-            )
+            target = jvm.org.apache.hadoop.fs.Path(f"{dst}/{p.getName()}")
+            if not fs.rename(p, target):
+                raise IOError(f"rotation rename failed: {p} -> {target}")
 
 
-def _prune_backups_older_than(spark, path: str, sinks, max_days: int) -> None:
+def _prune_backups_older_than(spark, path: str, max_days: int) -> None:
     """rotation.max_days (fileexporter config.go:64-69, lumberjack
     MaxAge): delete backup generations whose filesystem modification
-    time is older than 24h·``max_days``. A day is exactly 24 hours, as
-    the reference documents."""
+    time is older than 24h·``max_days``, across every backed-up sink.
+    A day is exactly 24 hours, as the reference documents."""
     import time
 
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
     cutoff_ms = int((time.time() - max_days * 86400) * 1000)
-    for s in sinks:
-        gen_root = jvm.org.apache.hadoop.fs.Path(
-            f"{_backup_root(path)}/sink={s}"
-        )
-        fs = gen_root.getFileSystem(hconf)
-        if not fs.exists(gen_root):
-            continue
+    for _sink, gen_root_str in list(_backup_sink_roots(spark, path)):
+        fs, gen_root, _ = _fs(spark, gen_root_str)
         for st in fs.listStatus(gen_root):
             if (
                 st.getPath().getName().startswith("gen-")
@@ -365,19 +410,14 @@ def _prune_backups_older_than(spark, path: str, sinks, max_days: int) -> None:
                 fs.delete(st.getPath(), True)
 
 
-def _prune_backup_generations(spark, path: str, sinks, max_backups: int) -> None:
+def _prune_backup_generations(spark, path: str, max_backups: int) -> None:
     """Keep the ``max_backups`` newest COMPLETE backup generations per
-    sink; delete older ones (lumberjack's bounded retention, with a
-    generation — one whole prior write — as the rotation unit)."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for s in sinks:
-        gen_root = jvm.org.apache.hadoop.fs.Path(
-            f"{_backup_root(path)}/sink={s}"
-        )
-        fs = gen_root.getFileSystem(hconf)
-        if not fs.exists(gen_root):
-            continue
+    backed-up sink; delete older ones (lumberjack's bounded retention,
+    with a generation — one whole prior write — as the rotation unit).
+    Callers pass ``max_backups >= 1``; zero means retain-all upstream
+    (lumberjack's MaxBackups zero value) and never reaches here."""
+    for _sink, gen_root_str in list(_backup_sink_roots(spark, path)):
+        fs, gen_root, jvm = _fs(spark, gen_root_str)
         gens = sorted(
             (
                 int(st.getPath().getName()[4:])
@@ -388,7 +428,7 @@ def _prune_backup_generations(spark, path: str, sinks, max_backups: int) -> None
         )
         for g in gens[max_backups:]:
             fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{gen_root}/gen-{g}"), True
+                jvm.org.apache.hadoop.fs.Path(f"{gen_root_str}/gen-{g}"), True
             )
 
 

@@ -631,7 +631,16 @@ def build_from_config(
         for p in entries:
             if p["type"] not in STAGE_REGISTRY:
                 raise ValueError(f"unknown {what} type {p['type']!r}")
-            _check(p.get("operators", []), "logstransform operator")
+            if p["type"] == "logstransform":
+                _check(p.get("operators", []), "logstransform operator")
+            elif "operators" in p:
+                # only logstransform executes a nested operator list —
+                # accepting it elsewhere would validate config the stage
+                # then silently ignores
+                raise ValueError(
+                    f"'operators' is only valid under logstransform, "
+                    f"found on {p['type']!r}"
+                )
 
     _check(config.get("processors", []), "processor")
 

@@ -749,3 +749,53 @@ def test_write_routed_max_days_zero_rejected(spark, turns, tmp_path):
         connectors.write_routed(
             tagged, {"all": ["only"]}, str(tmp_path / "z"), max_days=0
         )
+
+
+def test_write_routed_rotation_staging_and_dropped_sinks(spark, turns, tmp_path):
+    """With rotation on: max_backups=0 retains ALL generations
+    (lumberjack's zero value); a sink present on disk but dropped from
+    a later run's config still rotates to a backup instead of being
+    destroyed by the overwrite; no staging residue is left behind."""
+    import glob
+    import os
+
+    base = str(tmp_path / "rot")
+    two = turns.withColumn(
+        "_route", F.when(F.col("role") == "user", "u").otherwise("rest")
+    )
+    n = turns.count()
+    connectors.write_routed(two, {"u": ["a", "b"]}, base, max_backups=0)
+    # second run drops sink b entirely
+    one = turns.withColumn("_route", F.lit("all"))
+    paths = connectors.write_routed(one, {"all": ["a"]}, base, max_backups=0)
+    # live tree holds only the new generation's sinks
+    live_sinks = sorted(
+        os.path.basename(p) for p in glob.glob(base + "/routed/sink=*")
+    )
+    assert live_sinks == ["sink=a"]
+    assert spark.read.parquet(paths["a"]).count() == n
+    # the dropped sink's data survived as a backup generation
+    b_gens = glob.glob(base + "/routed_backups/sink=b/gen-*")
+    assert len(b_gens) == 1
+    assert spark.read.parquet(b_gens[0]).count() > 0
+    # max_backups=0 retained sink a's prior generation too
+    assert len(glob.glob(base + "/routed_backups/sink=a/gen-*")) == 1
+    # third run: still retain-all -> two generations for sink a
+    connectors.write_routed(one, {"all": ["a"]}, base, max_backups=0)
+    assert len(glob.glob(base + "/routed_backups/sink=a/gen-*")) == 2
+    assert not os.path.exists(base + "/routed__staging")
+    with pytest.raises(ValueError, match="max_backups"):
+        connectors.write_routed(one, {"all": ["a"]}, base, max_backups=-1)
+
+
+def test_config_rejects_operators_outside_logstransform(spark, sf_dir):
+    from opentelemetry_collector_contrib_spark.plans import config_pipeline as cfgp2
+
+    with pytest.raises(ValueError, match="only valid under logstransform"):
+        cfgp2.build_from_config(
+            spark, sf_dir,
+            {"processors": [
+                {"type": "redact", "allowed": [], "operators": [
+                    {"type": "json_parser"}]}
+            ]},
+        )
