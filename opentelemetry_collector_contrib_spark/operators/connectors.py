@@ -223,6 +223,8 @@ def write_routed(
         # every backup including the one just rotated", never intended
         raise ValueError("max_days must be >= 1 (or None to disable)")
     if max_backups is not None and max_backups < 0:
+        # (rotate-but-keep-zero-backups needs no knob: live-only output
+        # is exactly what plain overwrite — no rotation args — does)
         raise ValueError("max_backups must be >= 0 (0 = retain all)")
     routed = routed_union(tagged, sink_map)
     # cap estimation reads THIS frame, captured before the
@@ -300,7 +302,7 @@ def write_routed(
         #   * max_backups=0 retains ALL generations (lumberjack's
         #     MaxBackups zero value), max_days prunes by age.
         staging = f"{path}__staging"
-        _fs_delete_if_exists(tagged.sparkSession, staging)
+        _recover_or_clear_staging(tagged.sparkSession, staging, path)
         writer.save(staging)
         _rotate_generations(tagged.sparkSession, path)
         _fs_delete_if_exists(tagged.sparkSession, path)
@@ -337,6 +339,28 @@ def _fs_rename(spark, src: str, dst: str) -> None:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
+def _recover_or_clear_staging(spark, staging: str, path: str) -> None:
+    """Handle a staging dir left by a crashed prior run. The one unsafe
+    crash window in the swap protocol is after the live tree's delete
+    and before the staging rename — there the fully-committed new
+    generation exists ONLY in staging (it carries Spark's _SUCCESS
+    marker) while the live path is gone. Recover it by promoting
+    staging to live (this run will then rotate it into a backup like
+    any other prior generation). In every other state — staging without
+    _SUCCESS (a failed job's debris) or staging alongside an intact
+    live tree (crash before the swap began; that run's caller already
+    saw the failure) — staging is discarded."""
+    fs, sp, _ = _fs(spark, staging)
+    if not fs.exists(sp):
+        return
+    _, lp, jvm = _fs(spark, path)
+    success = jvm.org.apache.hadoop.fs.Path(f"{staging}/_SUCCESS")
+    if fs.exists(success) and not fs.exists(lp):
+        _fs_rename(spark, staging, path)
+    else:
+        _fs_delete_if_exists(spark, staging)
+
+
 def _backup_sink_roots(spark, path: str):
     """Yield (sink_name, gen_root_path_str) for every sink dir under the
     backup tree."""
@@ -354,12 +378,12 @@ def _backup_root(path: str) -> str:
 
 
 def _rotate_generations(spark, path: str) -> None:
-    """Move the part-files of EVERY sink dir currently on disk under
-    ``path`` (not just this run's sink set — a sink dropped from the
-    config still deserves its backup) to the next gen-K backup dir.
-    Hadoop FS renames — metadata-only on any sane filesystem — with
-    return values CHECKED: an un-moved part-file would otherwise be
-    destroyed by the live-tree swap, silently holing the backup."""
+    """Move EVERY sink dir currently on disk under ``path`` (not just
+    this run's sink set — a sink dropped from the config still deserves
+    its backup) to the next gen-K backup dir. ONE directory rename per
+    sink — all-or-nothing, so a transient FS failure can never leave a
+    live sink dir holed or a backup generation partial — with the
+    return value CHECKED (Hadoop reports failure as false)."""
     fs, live_root, jvm = _fs(spark, path)
     if not fs.exists(live_root):
         return
@@ -367,12 +391,11 @@ def _rotate_generations(spark, path: str) -> None:
         if not sink_st.getPath().getName().startswith("sink="):
             continue
         src_p = sink_st.getPath()
-        parts = [
-            st.getPath()
+        has_parts = any(
+            st.getPath().getName().startswith("part-")
             for st in fs.listStatus(src_p)
-            if st.getPath().getName().startswith("part-")
-        ]
-        if not parts:
+        )
+        if not has_parts:
             continue
         gen_root = jvm.org.apache.hadoop.fs.Path(
             f"{_backup_root(path)}/{src_p.getName()}"
@@ -383,13 +406,11 @@ def _rotate_generations(spark, path: str) -> None:
                 name = st.getPath().getName()
                 if name.startswith("gen-"):
                     nxt = max(nxt, int(name[4:]) + 1)
+        elif not fs.mkdirs(gen_root):
+            raise IOError(f"failed to create backup root {gen_root}")
         dst = jvm.org.apache.hadoop.fs.Path(f"{gen_root}/gen-{nxt}")
-        if not fs.mkdirs(dst):
-            raise IOError(f"failed to create backup dir {dst}")
-        for p in parts:
-            target = jvm.org.apache.hadoop.fs.Path(f"{dst}/{p.getName()}")
-            if not fs.rename(p, target):
-                raise IOError(f"rotation rename failed: {p} -> {target}")
+        if not fs.rename(src_p, dst):
+            raise IOError(f"rotation rename failed: {src_p} -> {dst}")
 
 
 def _prune_backups_older_than(spark, path: str, max_days: int) -> None:

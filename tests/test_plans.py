@@ -799,3 +799,37 @@ def test_config_rejects_operators_outside_logstransform(spark, sf_dir):
                     {"type": "json_parser"}]}
             ]},
         )
+
+
+def test_write_routed_recovers_stranded_staging(spark, turns, tmp_path):
+    """Crash-window recovery: if a prior run died after deleting the
+    live tree but before renaming staging in (the one window where the
+    committed generation exists ONLY in staging, marked by _SUCCESS),
+    the next rotating write promotes it — so its rows end up as a
+    normal backup generation, never silently destroyed."""
+    import glob
+    import os
+    import shutil
+
+    base = str(tmp_path / "rec")
+    tagged = turns.withColumn("_route", F.lit("all"))
+    n = turns.count()
+    connectors.write_routed(tagged, {"all": ["only"]}, base, max_backups=2)
+    # simulate the crash: live tree became staging (with _SUCCESS), live gone
+    shutil.move(base + "/routed", base + "/routed__staging")
+    assert os.path.exists(base + "/routed__staging/_SUCCESS")
+    paths = connectors.write_routed(
+        tagged, {"all": ["only"]}, base, max_backups=2
+    )
+    # live = the new write; the stranded generation became gen-0
+    assert spark.read.parquet(paths["only"]).count() == n
+    gens = glob.glob(base + "/routed_backups/sink=only/gen-*")
+    assert len(gens) == 1
+    assert spark.read.parquet(gens[0]).count() == n
+    # staging WITHOUT _SUCCESS (failed job debris) is discarded instead
+    os.makedirs(base + "/routed__staging/sink=only", exist_ok=True)
+    with open(base + "/routed__staging/sink=only/part-junk", "w") as f:
+        f.write("x")
+    connectors.write_routed(tagged, {"all": ["only"]}, base, max_backups=2)
+    assert not os.path.exists(base + "/routed__staging")
+    assert spark.read.parquet(paths["only"]).count() == n
