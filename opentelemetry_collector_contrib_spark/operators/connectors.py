@@ -344,18 +344,24 @@ def _recover_or_clear_staging(spark, staging: str, path: str) -> None:
     crash window in the swap protocol is after the live tree's delete
     and before the staging rename — there the fully-committed new
     generation exists ONLY in staging (it carries Spark's _SUCCESS
-    marker) while the live path is gone. Recover it by promoting
-    staging to live (this run will then rotate it into a backup like
-    any other prior generation). In every other state — staging without
-    _SUCCESS (a failed job's debris) or staging alongside an intact
-    live tree (crash before the swap began; that run's caller already
-    saw the failure) — staging is discarded."""
+    marker) while the live path is gone — or holds no sink dirs, the
+    state a crash between the rotation and the live-tree delete leaves.
+    Recover it by promoting staging to live (this run will then rotate
+    it into a backup like any other prior generation). In every other
+    state — staging without _SUCCESS (a failed job's debris) or staging
+    alongside an intact live tree (crash before the swap began; that
+    run's caller already saw the failure) — staging is discarded."""
     fs, sp, _ = _fs(spark, staging)
     if not fs.exists(sp):
         return
     _, lp, jvm = _fs(spark, path)
     success = jvm.org.apache.hadoop.fs.Path(f"{staging}/_SUCCESS")
-    if fs.exists(success) and not fs.exists(lp):
+    live_has_sinks = fs.exists(lp) and any(
+        st.getPath().getName().startswith("sink=")
+        for st in fs.listStatus(lp)
+    )
+    if fs.exists(success) and not live_has_sinks:
+        _fs_delete_if_exists(spark, path)
         _fs_rename(spark, staging, path)
     else:
         _fs_delete_if_exists(spark, staging)

@@ -833,3 +833,27 @@ def test_write_routed_recovers_stranded_staging(spark, turns, tmp_path):
     connectors.write_routed(tagged, {"all": ["only"]}, base, max_backups=2)
     assert not os.path.exists(base + "/routed__staging")
     assert spark.read.parquet(paths["only"]).count() == n
+
+
+def test_write_routed_recovers_after_rotate_precommit_crash(spark, turns, tmp_path):
+    # crash between rotation and the live-tree delete: live root exists
+    # but holds only _SUCCESS (no sink dirs) while staging carries the
+    # committed generation — recovery must promote, not discard
+    import glob
+    import os
+    import shutil
+
+    base = str(tmp_path / "rec2")
+    tagged = turns.withColumn("_route", F.lit("all"))
+    n = turns.count()
+    connectors.write_routed(tagged, {"all": ["only"]}, base, max_backups=2)
+    shutil.move(base + "/routed", base + "/routed__staging")
+    os.makedirs(base + "/routed")
+    open(base + "/routed/_SUCCESS", "w").close()  # sink-less live root
+    paths = connectors.write_routed(
+        tagged, {"all": ["only"]}, base, max_backups=2
+    )
+    assert spark.read.parquet(paths["only"]).count() == n
+    gens = glob.glob(base + "/routed_backups/sink=only/gen-*")
+    assert len(gens) == 1
+    assert spark.read.parquet(gens[0]).count() == n
