@@ -677,6 +677,11 @@ def q_corpus_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"type": "dedup_minhash", "components": True},
             {"type": "checkpoint"},
             {"type": "decontaminate", "eval_where": "doc_id % 17 = 0", "n": 3},
+            # dsir_select re-reads its input 3+ times (corpus count,
+            # target count, weight join + semi-join back) — cut the
+            # lineage after the decontamination probe or each pass
+            # re-runs the shingle explode + broadcast join
+            {"type": "checkpoint"},
             {"type": "dsir_select", "target_where": "doc_id % 13 = 0",
              "k": 200, "seed": 5},
             {"type": "global_shuffle", "key": "doc_id", "seed": 5},

@@ -251,8 +251,13 @@ def _sentence_array(col):
     """Split text into sentences with an RE2-portable two-step (mark a
     separator after sentence-final punctuation + space, then split) —
     no lookbehind, so the DuckDB oracle replays the exact boundaries
-    with regexp_replace(.., '\\1' || chr(1), 'g') + string_split."""
-    return F.split(F.regexp_replace(col, r"([.!?]) ", "$1" + _SENT_SEP), _SENT_SEP)
+    with regexp_replace(.., '\\1' || chr(1), 'g') + string_split +
+    list_filter. Empty chunks are dropped: text ending '. ' would
+    otherwise emit a phantom trailing '' sentence that inflates
+    n_kept/n_removed and — worse — gives every such doc corpus-wide the
+    same md5('')-bearing span."""
+    arr = F.split(F.regexp_replace(col, r"([.!?]) ", "$1" + _SENT_SEP), _SENT_SEP)
+    return F.filter(arr, lambda x: x != "")
 
 
 def span_dedup(

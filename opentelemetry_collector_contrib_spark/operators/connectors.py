@@ -284,28 +284,27 @@ def write_routed(
         # keeps the live file plus up to N complete rotated files. The
         # analog: the new generation is WRITTEN TO A STAGING DIR first;
         # only after the (potentially minutes-long, failable) Spark job
-        # commits does the live generation rotate — every existing
-        # sink=* dir found on the filesystem, not just this run's sink
-        # set — into a sibling {base}/routed_backups/sink=X/gen-K/ tree,
-        # and staging renames into place. Properties, each matching
-        # lumberjack:
+        # commits does the live generation rotate: the WHOLE live tree
+        # moves in ONE checked rename to the sibling
+        # {base}/routed_backups/gen-K/ dir (generation-first layout —
+        # every sink on disk travels together, so there is no per-sink
+        # loop that a crash could interrupt half-way), then staging
+        # renames into place. Properties, each matching lumberjack:
         #   * a failed/interrupted write leaves the live tree UNTOUCHED
         #     (the vulnerable window is two metadata renames, not the
-        #     whole job);
+        #     whole job, and each is all-or-nothing);
         #   * a sink present on disk but absent from this run's config
         #     still rotates to a backup before the old tree goes away;
         #   * reads of the returned sink paths see ONLY the live
         #     generation (backups live outside the read path);
-        #   * a retained backup is a COMPLETE generation, a usable
-        #     rollback point — every FS rename is checked and raises on
-        #     failure rather than silently shedding part-files;
+        #   * a retained backup is a COMPLETE generation — all sinks,
+        #     all part-files — a usable rollback point;
         #   * max_backups=0 retains ALL generations (lumberjack's
         #     MaxBackups zero value), max_days prunes by age.
         staging = f"{path}__staging"
         _recover_or_clear_staging(tagged.sparkSession, staging, path)
         writer.save(staging)
         _rotate_generations(tagged.sparkSession, path)
-        _fs_delete_if_exists(tagged.sparkSession, path)
         _fs_rename(tagged.sparkSession, staging, path)
         if max_backups is not None and max_backups > 0:
             _prune_backup_generations(
@@ -367,16 +366,17 @@ def _recover_or_clear_staging(spark, staging: str, path: str) -> None:
         _fs_delete_if_exists(spark, staging)
 
 
-def _backup_sink_roots(spark, path: str):
-    """Yield (sink_name, gen_root_path_str) for every sink dir under the
-    backup tree."""
+def _backup_generations(spark, path: str):
+    """Return [(gen_index, FileStatus)] for every generation dir under
+    the backup tree, unsorted."""
     fs, root, _ = _fs(spark, _backup_root(path))
     if not fs.exists(root):
-        return
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith("sink="):
-            yield name[5:], st.getPath().toString()
+        return []
+    return [
+        (int(st.getPath().getName()[4:]), st)
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("gen-")
+    ]
 
 
 def _backup_root(path: str) -> str:
@@ -384,79 +384,59 @@ def _backup_root(path: str) -> str:
 
 
 def _rotate_generations(spark, path: str) -> None:
-    """Move EVERY sink dir currently on disk under ``path`` (not just
-    this run's sink set — a sink dropped from the config still deserves
-    its backup) to the next gen-K backup dir. ONE directory rename per
-    sink — all-or-nothing, so a transient FS failure can never leave a
-    live sink dir holed or a backup generation partial — with the
-    return value CHECKED (Hadoop reports failure as false)."""
+    """Move the WHOLE live tree (every sink on disk, not just this
+    run's sink set — a sink dropped from the config still deserves its
+    backup) to the next gen-K backup dir in ONE checked rename. A
+    single directory move is all-or-nothing: no crash can leave some
+    sinks rotated and others live, which a per-sink loop could. A live
+    root with no sink dirs (only a _SUCCESS marker — debris from a
+    crash between rotation and swap) is deleted, not enshrined as a
+    generation."""
     fs, live_root, jvm = _fs(spark, path)
     if not fs.exists(live_root):
         return
-    for sink_st in fs.listStatus(live_root):
-        if not sink_st.getPath().getName().startswith("sink="):
-            continue
-        src_p = sink_st.getPath()
-        has_parts = any(
-            st.getPath().getName().startswith("part-")
-            for st in fs.listStatus(src_p)
-        )
-        if not has_parts:
-            continue
-        gen_root = jvm.org.apache.hadoop.fs.Path(
-            f"{_backup_root(path)}/{src_p.getName()}"
-        )
-        nxt = 0
-        if fs.exists(gen_root):
-            for st in fs.listStatus(gen_root):
-                name = st.getPath().getName()
-                if name.startswith("gen-"):
-                    nxt = max(nxt, int(name[4:]) + 1)
-        elif not fs.mkdirs(gen_root):
-            raise IOError(f"failed to create backup root {gen_root}")
-        dst = jvm.org.apache.hadoop.fs.Path(f"{gen_root}/gen-{nxt}")
-        if not fs.rename(src_p, dst):
-            raise IOError(f"rotation rename failed: {src_p} -> {dst}")
+    has_sinks = any(
+        st.getPath().getName().startswith("sink=")
+        for st in fs.listStatus(live_root)
+    )
+    if not has_sinks:
+        _fs_delete_if_exists(spark, path)
+        return
+    broot = _backup_root(path)
+    fs_b, broot_p, _ = _fs(spark, broot)
+    if not fs_b.exists(broot_p) and not fs_b.mkdirs(broot_p):
+        raise IOError(f"failed to create backup root {broot}")
+    nxt = max((g for g, _ in _backup_generations(spark, path)), default=-1) + 1
+    _fs_rename(spark, path, f"{broot}/gen-{nxt}")
 
 
 def _prune_backups_older_than(spark, path: str, max_days: int) -> None:
     """rotation.max_days (fileexporter config.go:64-69, lumberjack
     MaxAge): delete backup generations whose filesystem modification
-    time is older than 24h·``max_days``, across every backed-up sink.
-    A day is exactly 24 hours, as the reference documents."""
+    time is older than 24h·``max_days``. A day is exactly 24 hours, as
+    the reference documents."""
     import time
 
     cutoff_ms = int((time.time() - max_days * 86400) * 1000)
-    for _sink, gen_root_str in list(_backup_sink_roots(spark, path)):
-        fs, gen_root, _ = _fs(spark, gen_root_str)
-        for st in fs.listStatus(gen_root):
-            if (
-                st.getPath().getName().startswith("gen-")
-                and st.getModificationTime() < cutoff_ms
-            ):
-                fs.delete(st.getPath(), True)
+    for _g, st in _backup_generations(spark, path):
+        if st.getModificationTime() < cutoff_ms:
+            fs, p, _ = _fs(spark, st.getPath().toString())
+            fs.delete(p, True)
 
 
 def _prune_backup_generations(spark, path: str, max_backups: int) -> None:
-    """Keep the ``max_backups`` newest COMPLETE backup generations per
-    backed-up sink; delete older ones (lumberjack's bounded retention,
-    with a generation — one whole prior write — as the rotation unit).
-    Callers pass ``max_backups >= 1``; zero means retain-all upstream
-    (lumberjack's MaxBackups zero value) and never reaches here."""
-    for _sink, gen_root_str in list(_backup_sink_roots(spark, path)):
-        fs, gen_root, jvm = _fs(spark, gen_root_str)
-        gens = sorted(
-            (
-                int(st.getPath().getName()[4:])
-                for st in fs.listStatus(gen_root)
-                if st.getPath().getName().startswith("gen-")
-            ),
-            reverse=True,
-        )
-        for g in gens[max_backups:]:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{gen_root_str}/gen-{g}"), True
-            )
+    """Keep the ``max_backups`` newest COMPLETE backup generations;
+    delete older ones (lumberjack's bounded retention, with a
+    generation — one whole prior write, all sinks — as the rotation
+    unit). Callers pass ``max_backups >= 1``; zero means retain-all
+    upstream (lumberjack's MaxBackups zero value) and never reaches
+    here."""
+    gens = sorted(
+        _backup_generations(spark, path), key=lambda t: t[0], reverse=True
+    )
+    for _g, st in gens[max_backups:]:
+        fs, p, _ = _fs(spark, st.getPath().toString())
+        fs.delete(p, True)
 
 
 def count_connector(

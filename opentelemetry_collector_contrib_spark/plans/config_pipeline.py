@@ -412,8 +412,18 @@ def _stage_semdedup(df, spark, sf_dir, cfg):
         sim.lsh_bucket(vec_col, planes=cfg["planes"])
         if "planes" in cfg else None
     )
+    src = df
+    if cluster is None and cfg.get("centroids") is None:
+        # the IVF quantizer trains EAGERLY (a seed-sample collect plus
+        # one assignment pass per Lloyd iteration) — over the
+        # un-materialized flowing frame each pass would re-execute the
+        # whole upstream stage DAG at build time. Materialize the
+        # narrow (id, vec) projection once; training and the dedup
+        # probe both read it, and survivors semi-join back to the full
+        # frame by id.
+        src = df.select(id_col, vec_col).localCheckpoint(eager=True)
     kept = sim.semdedup(
-        df, id_col=id_col, vec_col=vec_col,
+        src, id_col=id_col, vec_col=vec_col,
         threshold=cfg.get("threshold", 0.95), cluster=cluster,
         nlist=cfg.get("nlist", 16), iters=cfg.get("iters", 2),
         seed=cfg.get("seed", 0), centroids=cfg.get("centroids"),

@@ -674,11 +674,11 @@ def test_write_routed_max_megabytes_and_backups(spark, turns, tmp_path):
         assert spark.read.parquet(paths2["only"]).count() == n
     gen_dirs = sorted(
         os.path.basename(p)
-        for p in glob.glob(str(tmp_path / "bk" / "routed_backups" / "sink=only" / "gen-*"))
+        for p in glob.glob(str(tmp_path / "bk" / "routed_backups" / "gen-*"))
     )
     assert gen_dirs == ["gen-1", "gen-2"]  # 2 newest of gens 0..2
     for g in gen_dirs:
-        gp = str(tmp_path / "bk" / "routed_backups" / "sink=only" / g)
+        gp = str(tmp_path / "bk" / "routed_backups" / g / "sink=only")
         assert len(glob.glob(gp + "/part-*")) == 4  # complete generation
         assert spark.read.parquet(gp).count() == n
 
@@ -726,15 +726,16 @@ def test_write_routed_max_days_age_retention(spark, turns, tmp_path):
     # two writes -> one backup generation (gen-0)
     connectors.write_routed(tagged, {"all": ["only"]}, base, max_days=1)
     connectors.write_routed(tagged, {"all": ["only"]}, base, max_days=1)
-    gen0 = os.path.join(base, "routed_backups", "sink=only", "gen-0")
-    assert os.path.isdir(gen0)
-    # age gen-0 beyond the cutoff, then a third write prunes it while
-    # the (fresh) gen-1 from that same write survives
+    gen0 = os.path.join(base, "routed_backups", "gen-0")
+    assert os.path.isdir(os.path.join(gen0, "sink=only"))
+    # age gen-0 beyond the cutoff (pruning reads the GENERATION dir's
+    # modtime), then a third write prunes it while the (fresh) gen-1
+    # from that same write survives
     os.utime(gen0, (1000, 1000))
     connectors.write_routed(tagged, {"all": ["only"]}, base, max_days=1)
     gens = sorted(
         os.path.basename(p)
-        for p in glob.glob(os.path.join(base, "routed_backups", "sink=only", "gen-*"))
+        for p in glob.glob(os.path.join(base, "routed_backups", "gen-*"))
     )
     assert gens == ["gen-1"]
     n = turns.count()
@@ -775,14 +776,14 @@ def test_write_routed_rotation_staging_and_dropped_sinks(spark, turns, tmp_path)
     assert live_sinks == ["sink=a"]
     assert spark.read.parquet(paths["a"]).count() == n
     # the dropped sink's data survived as a backup generation
-    b_gens = glob.glob(base + "/routed_backups/sink=b/gen-*")
+    b_gens = glob.glob(base + "/routed_backups/gen-*/sink=b")
     assert len(b_gens) == 1
     assert spark.read.parquet(b_gens[0]).count() > 0
     # max_backups=0 retained sink a's prior generation too
-    assert len(glob.glob(base + "/routed_backups/sink=a/gen-*")) == 1
+    assert len(glob.glob(base + "/routed_backups/gen-*/sink=a")) == 1
     # third run: still retain-all -> two generations for sink a
     connectors.write_routed(one, {"all": ["a"]}, base, max_backups=0)
-    assert len(glob.glob(base + "/routed_backups/sink=a/gen-*")) == 2
+    assert len(glob.glob(base + "/routed_backups/gen-*/sink=a")) == 2
     assert not os.path.exists(base + "/routed__staging")
     with pytest.raises(ValueError, match="max_backups"):
         connectors.write_routed(one, {"all": ["a"]}, base, max_backups=-1)
@@ -823,7 +824,7 @@ def test_write_routed_recovers_stranded_staging(spark, turns, tmp_path):
     )
     # live = the new write; the stranded generation became gen-0
     assert spark.read.parquet(paths["only"]).count() == n
-    gens = glob.glob(base + "/routed_backups/sink=only/gen-*")
+    gens = glob.glob(base + "/routed_backups/gen-*/sink=only")
     assert len(gens) == 1
     assert spark.read.parquet(gens[0]).count() == n
     # staging WITHOUT _SUCCESS (failed job debris) is discarded instead
@@ -854,6 +855,6 @@ def test_write_routed_recovers_after_rotate_precommit_crash(spark, turns, tmp_pa
         tagged, {"all": ["only"]}, base, max_backups=2
     )
     assert spark.read.parquet(paths["only"]).count() == n
-    gens = glob.glob(base + "/routed_backups/sink=only/gen-*")
+    gens = glob.glob(base + "/routed_backups/gen-*/sink=only")
     assert len(gens) == 1
     assert spark.read.parquet(gens[0]).count() == n

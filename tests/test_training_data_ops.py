@@ -21,7 +21,12 @@ from opentelemetry_collector_contrib_spark.sources import documents as docsrc  #
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return docsrc.documents_df(spark, sf_dir).cache()
+    df = docsrc.documents_df(spark, sf_dir).cache()
+    yield df
+    # unpersist at module teardown: a lingering cache makes any LATER
+    # test that builds the same documents plan hit the InMemoryRelation
+    # (e.g. the scan-pruning plan assertions stop seeing PushedFilters)
+    df.unpersist()
 
 
 def test_exact_dedup_finds_planted_duplicates(spark):
@@ -455,8 +460,10 @@ def test_semdedup_deterministic(spark):
 SPAN_DEDUP_SQL = """
 WITH sents AS (
   SELECT doc_id,
-         string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'),
-                      chr(1)) AS arr
+         list_filter(
+           string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'),
+                        chr(1)),
+           x -> x <> '') AS arr
   FROM documents
 ), sent_rows AS (
   SELECT doc_id, unnest(arr) AS sent, generate_subscripts(arr, 1) AS spos
@@ -675,3 +682,18 @@ def test_duplicate_components_matches_union_find(spark, seed):
         for r in dd.duplicate_components(pairs).collect()
     )
     assert got == want
+
+
+def test_span_dedup_no_phantom_trailing_sentence(spark):
+    # regression: text ending '. ' produced a phantom '' sentence that
+    # inflated n_kept and gave every such doc a shared md5('') span
+    from opentelemetry_collector_contrib_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "One two. Three four. "), (2, "Alpha beta. Gamma delta. ")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dd.span_dedup(docs, span=1).collect()}
+    # two real sentences each, nothing shared -> all kept, none removed
+    assert out[1]["n_kept"] == 2 and out[1]["n_removed"] == 0
+    assert out[2]["n_kept"] == 2 and out[2]["n_removed"] == 0
