@@ -257,7 +257,7 @@ def _sentence_array(col):
     n_kept/n_removed and — worse — gives every such doc corpus-wide the
     same md5('')-bearing span."""
     arr = F.split(F.regexp_replace(col, r"([.!?]) ", "$1" + _SENT_SEP), _SENT_SEP)
-    return F.filter(arr, lambda x: x != "")
+    return F.filter(arr, lambda x: F.regexp_replace(x, r"\s", "") != "")
 
 
 def span_dedup(

@@ -395,11 +395,19 @@ def _rotate_generations(spark, path: str) -> None:
     fs, live_root, jvm = _fs(spark, path)
     if not fs.exists(live_root):
         return
-    has_sinks = any(
+    # a generation must carry DATA: a live tree whose sink dirs hold no
+    # part-files (debris from a crashed write, or just the _SUCCESS
+    # marker) is deleted, not enshrined as a backup — it would consume
+    # a max_backups slot and evict a real rollback point
+    has_data = any(
         st.getPath().getName().startswith("sink=")
+        and any(
+            f.getPath().getName().startswith("part-")
+            for f in fs.listStatus(st.getPath())
+        )
         for st in fs.listStatus(live_root)
     )
-    if not has_sinks:
+    if not has_data:
         _fs_delete_if_exists(spark, path)
         return
     broot = _backup_root(path)
@@ -418,10 +426,10 @@ def _prune_backups_older_than(spark, path: str, max_days: int) -> None:
     import time
 
     cutoff_ms = int((time.time() - max_days * 86400) * 1000)
+    fs, _, _ = _fs(spark, _backup_root(path))
     for _g, st in _backup_generations(spark, path):
         if st.getModificationTime() < cutoff_ms:
-            fs, p, _ = _fs(spark, st.getPath().toString())
-            fs.delete(p, True)
+            fs.delete(st.getPath(), True)
 
 
 def _prune_backup_generations(spark, path: str, max_backups: int) -> None:
@@ -434,9 +442,9 @@ def _prune_backup_generations(spark, path: str, max_backups: int) -> None:
     gens = sorted(
         _backup_generations(spark, path), key=lambda t: t[0], reverse=True
     )
+    fs, _, _ = _fs(spark, _backup_root(path))
     for _g, st in gens[max_backups:]:
-        fs, p, _ = _fs(spark, st.getPath().toString())
-        fs.delete(p, True)
+        fs.delete(st.getPath(), True)
 
 
 def count_connector(

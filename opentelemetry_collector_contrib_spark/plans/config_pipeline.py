@@ -420,7 +420,11 @@ def _stage_semdedup(df, spark, sf_dir, cfg):
         # whole upstream stage DAG at build time. Materialize the
         # narrow (id, vec) projection once; training and the dedup
         # probe both read it, and survivors semi-join back to the full
-        # frame by id.
+        # frame by id. Lifetime: the returned plan references the
+        # checkpointed blocks, so they live exactly as long as the
+        # caller holds the result frame and are released by the
+        # ContextCleaner when it drops — an explicit unpersist here
+        # would pull the data out from under the un-executed plan.
         src = df.select(id_col, vec_col).localCheckpoint(eager=True)
     kept = sim.semdedup(
         src, id_col=id_col, vec_col=vec_col,

@@ -457,13 +457,13 @@ def test_semdedup_deterministic(spark):
 
 # --- C4 three-sentence-span dedup (Raffel et al. 2020 §2.2) ---
 
-SPAN_DEDUP_SQL = """
+SPAN_DEDUP_SQL = r"""
 WITH sents AS (
   SELECT doc_id,
          list_filter(
            string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'),
                         chr(1)),
-           x -> x <> '') AS arr
+           x -> regexp_replace(x, '\s', '', 'g') <> '') AS arr
   FROM documents
 ), sent_rows AS (
   SELECT doc_id, unnest(arr) AS sent, generate_subscripts(arr, 1) AS spos
@@ -690,7 +690,7 @@ def test_span_dedup_no_phantom_trailing_sentence(spark):
     from opentelemetry_collector_contrib_spark.functions import dedup as dd
 
     docs = spark.createDataFrame(
-        [(1, "One two. Three four. "), (2, "Alpha beta. Gamma delta. ")],
+        [(1, "One two. Three four.  "), (2, "Alpha beta. Gamma delta. \n")],
         ["doc_id", "text"],
     )
     out = {r["doc_id"]: r for r in dd.span_dedup(docs, span=1).collect()}
